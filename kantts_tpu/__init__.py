@@ -1,0 +1,14 @@
+"""kantts_tpu — a TPU-native (JAX/XLA/Pallas/pjit) re-design of the KAN-TTS toolchain.
+
+Two-stage neural TTS:
+  1. SAM-BERT acoustic model: linguistic symbols -> mel spectrogram
+     (FastSpeech-style parallel encoder + variance adaptor + PNCA decoder).
+  2. HiFi-GAN vocoder: mel -> waveform (GAN-trained conv generator with
+     MSD/MPD/MSpecD discriminators, optional NSF excitation, PQMF multiband).
+
+Capability parity target: modelscope/KAN-TTS (see SURVEY.md at repo root).
+The compute path is JAX/Flax compiled by XLA for TPU; auxiliary native code
+(f0 extraction, MAS Viterbi) lives in C++ under `native/`.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,83 @@
+"""Text cleaners (tacotron-style pipelines), dependency-free.
+
+Parity target: /root/reference/kantts/utils/ling_unit/cleaners.py. The
+reference pulls in ``unidecode`` for ASCII transliteration; here NFKD
+decomposition + combining-mark strip covers the Latin-script cases. Cleaners
+only touch text *outside* curly-brace phone groups, so the main symbol path
+(metafile {sy$tone$...} tokens) never reaches them.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+
+from kantts_tpu.text.numbers import normalize_numbers
+
+_whitespace_re = re.compile(r"\s+")
+
+_abbreviations = [
+    (re.compile(r"\b%s\." % abbr, re.IGNORECASE), expansion)
+    for abbr, expansion in [
+        ("mrs", "misess"),
+        ("mr", "mister"),
+        ("dr", "doctor"),
+        ("st", "saint"),
+        ("co", "company"),
+        ("jr", "junior"),
+        ("maj", "major"),
+        ("gen", "general"),
+        ("drs", "doctors"),
+        ("rev", "reverend"),
+        ("lt", "lieutenant"),
+        ("hon", "honorable"),
+        ("sgt", "sergeant"),
+        ("capt", "captain"),
+        ("esq", "esquire"),
+        ("ltd", "limited"),
+        ("col", "colonel"),
+        ("ft", "fort"),
+    ]
+]
+
+
+def expand_abbreviations(text: str) -> str:
+    for regex, replacement in _abbreviations:
+        text = re.sub(regex, replacement, text)
+    return text
+
+
+def expand_numbers(text: str) -> str:
+    return normalize_numbers(text)
+
+
+def lowercase(text: str) -> str:
+    return text.lower()
+
+
+def collapse_whitespace(text: str) -> str:
+    return re.sub(_whitespace_re, " ", text)
+
+
+def convert_to_ascii(text: str) -> str:
+    decomposed = unicodedata.normalize("NFKD", text)
+    return "".join(c for c in decomposed if not unicodedata.combining(c)).encode(
+        "ascii", "ignore"
+    ).decode("ascii")
+
+
+def basic_cleaners(text: str) -> str:
+    return collapse_whitespace(lowercase(text))
+
+
+def transliteration_cleaners(text: str) -> str:
+    return collapse_whitespace(lowercase(convert_to_ascii(text)))
+
+
+def english_cleaners(text: str) -> str:
+    text = convert_to_ascii(text)
+    text = lowercase(text)
+    text = expand_numbers(text)
+    text = expand_abbreviations(text)
+    text = collapse_whitespace(text)
+    return text
