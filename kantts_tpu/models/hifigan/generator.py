@@ -1,0 +1,145 @@
+"""HiFi-GAN generator (Flax/linen), TPU-native.
+
+Parity target: /root/reference/kantts/models/hifigan/hifigan.py:22-197.
+Architecture per upsample stage i:
+  x = sin(x) + x                                (hifigan.py:157)
+  rep = conv(leaky(nearest_upsample(x)))        dual-path repeat upsample
+  up  = deconv(leaky(x))                        transposed-conv upsample
+  x   = rep + up[:rep_len] (+ NSF excitation)   (hifigan.py:162-168)
+  x   = mean_j resblock_j(x)                    MRF (hifigan.py:170-176)
+then leaky_relu (default 0.01 slope) -> conv_post -> tanh.
+
+Layout is (B, T, C) throughout; the whole forward is one XLA program — the
+per-stage python loop unrolls at trace time (static num_upsamples).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from kantts_tpu.models.hifigan.layers import (
+    ResidualBlock,
+    SourceModule,
+    WNConv1d,
+    WNConvTranspose1d,
+    get_activation,
+    leaky_relu,
+)
+
+
+class Generator(nn.Module):
+    in_channels: int = 80
+    out_channels: int = 1
+    channels: int = 512
+    kernel_size: int = 7
+    upsample_scales: Sequence[int] = (8, 8, 2, 2)
+    upsample_kernal_sizes: Sequence[int] = (16, 16, 4, 4)
+    resblock_kernel_sizes: Sequence[int] = (3, 7, 11)
+    resblock_dilations: Sequence[Sequence[int]] = ((1, 3, 5), (1, 3, 5), (1, 3, 5))
+    repeat_upsample: bool = True
+    bias: bool = True
+    causal: bool = True
+    nonlinear_activation: str = "LeakyReLU"
+    nonlinear_activation_params: Optional[dict] = None
+    use_weight_norm: bool = True
+    nsf_params: Optional[dict] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        """x: (B, T, in_channels) mel (NSF: last 2 channels = f0, uv).
+
+        Returns (B, T * prod(upsample_scales), out_channels) in [-1, 1].
+        """
+        assert self.kernel_size % 2 == 1, "Kernel size must be odd number."
+        act = get_activation(
+            self.nonlinear_activation,
+            self.nonlinear_activation_params or {"negative_slope": 0.1},
+        )
+        nsf_enable = self.nsf_params is not None
+        num_upsamples = len(self.upsample_scales)
+        k = self.kernel_size
+
+        if nsf_enable:
+            mel = x[:, :, :-2]
+            pitch = x[:, :, -2:-1]
+            uv = x[:, :, -1:]
+            excitation = SourceModule(
+                nb_harmonics=self.nsf_params["nb_harmonics"],
+                upsample_ratio=int(np.prod(self.upsample_scales)),
+                sampling_rate=self.nsf_params["sampling_rate"],
+                dtype=self.dtype,
+                name="source_module",
+            )(pitch, uv)
+            # stage i sees excitation downsampled by prod(scales[i+1:])
+            downsample_rates = [1] + list(self.upsample_scales[::-1][:-1])
+            downsample_cum = np.cumprod(downsample_rates)[::-1]
+        else:
+            mel = x
+
+        h = WNConv1d(
+            self.channels, k, padding=(k - 1) // 2, causal=self.causal,
+            use_bias=self.bias, use_weight_norm=self.use_weight_norm,
+            dtype=self.dtype, name="conv_pre",
+        )(mel)
+
+        for i, (scale, up_k) in enumerate(
+            zip(self.upsample_scales, self.upsample_kernal_sizes)
+        ):
+            ch = self.channels // (2 ** (i + 1))
+            h = jnp.sin(h) + h
+
+            rep = jnp.repeat(h, scale, axis=1)
+            rep = act(rep)
+            rep = WNConv1d(
+                ch, k, padding=(k - 1) // 2, causal=self.causal,
+                use_bias=self.bias, use_weight_norm=self.use_weight_norm,
+                dtype=self.dtype, name=f"repeat_upsamples_{i}",
+            )(rep)
+
+            up = act(h)
+            up = WNConvTranspose1d(
+                ch, up_k, stride=scale, padding=(up_k - scale) // 2,
+                causal=self.causal, use_weight_norm=self.use_weight_norm,
+                dtype=self.dtype, name=f"transpose_upsamples_{i}",
+            )(up)
+
+            if nsf_enable:
+                u = int(downsample_cum[i])
+                if u == 1:
+                    e = WNConv1d(ch, 1, dtype=self.dtype,
+                                 name=f"source_downs_{i}")(excitation)
+                else:
+                    e = WNConv1d(
+                        ch, u * 2, stride=u, padding=u // 2, causal=self.causal,
+                        dtype=self.dtype, name=f"source_downs_{i}",
+                    )(excitation)
+                h = rep + e[:, : rep.shape[1], :] + up[:, : rep.shape[1], :]
+            else:
+                h = rep + up[:, : rep.shape[1], :]
+
+            acc = None
+            for j, (rk, rd) in enumerate(
+                zip(self.resblock_kernel_sizes, self.resblock_dilations)
+            ):
+                out = ResidualBlock(
+                    channels=ch, kernel_size=rk, dilation=tuple(rd),
+                    nonlinear_activation=self.nonlinear_activation,
+                    nonlinear_activation_params=self.nonlinear_activation_params,
+                    causal=self.causal, dtype=self.dtype,
+                    name=f"conv_blocks_{i}_{j}",
+                )(h)
+                acc = out if acc is None else acc + out
+            h = acc / len(self.resblock_kernel_sizes)
+
+        h = leaky_relu(h, 0.01)  # F.leaky_relu default slope (hifigan.py:178)
+        h = WNConv1d(
+            self.out_channels, k, padding=(k - 1) // 2, causal=self.causal,
+            use_bias=self.bias, use_weight_norm=self.use_weight_norm,
+            dtype=self.dtype, name="conv_post",
+        )(h)
+        return jnp.tanh(h)
