@@ -61,7 +61,8 @@ def stft_complex(
     else:
         window = jnp.asarray(window)
         if window.shape[-1] < n_fft:
-            window = jnp.asarray(pad_center(np.asarray(window), n_fft))
+            lpad = (n_fft - window.shape[-1]) // 2
+            window = jnp.pad(window, (lpad, n_fft - window.shape[-1] - lpad))
     if center:
         pad = n_fft // 2
         pad_widths = [(0, 0)] * (x.ndim - 1) + [(pad, pad)]
