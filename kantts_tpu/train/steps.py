@@ -25,7 +25,28 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from kantts_tpu.parallel.mesh import data_sharding, replicated_sharding
 from kantts_tpu.train.states import GanTrainState, TrainState
+
+
+def _jit_step(fn, mesh, n_data_args: int, donate: bool = True):
+    """jit with DP shardings when a mesh is given: arg 0 (state) replicated,
+    the next ``n_data_args`` args batch-sharded, the rest replicated."""
+    donate_argnums = (0,) if donate else ()
+    if mesh is None:
+        return jax.jit(fn, donate_argnums=donate_argnums)
+    rep = replicated_sharding(mesh)
+    dsh = data_sharding(mesh)
+    import inspect
+
+    n_args = len(inspect.signature(fn).parameters)
+    in_shardings = [rep] + [dsh] * n_data_args
+    in_shardings += [rep] * (n_args - len(in_shardings))
+    return jax.jit(
+        fn, donate_argnums=donate_argnums,
+        in_shardings=tuple(in_shardings),
+        out_shardings=rep,
+    )
 
 
 def make_sambert_step(
@@ -35,8 +56,11 @@ def make_sambert_step(
     with_mas: bool,
     fp_enable: bool,
     train: bool = True,
+    mesh=None,
 ):
-    """Returns jitted fn(state, batch, rng, epoch) -> (state, metrics)."""
+    """Returns jitted fn(state, batch, rng, epoch) -> (state, metrics).
+    With ``mesh``, the batch is sharded over the ``data`` axis and state is
+    replicated (single-program DP)."""
 
     def compute_losses(params, batch, rng, epoch, deterministic):
         rngs = {"dropout": rng} if not deterministic else {}
@@ -95,16 +119,14 @@ def make_sambert_step(
         return total, metrics
 
     if not train:
-        @jax.jit
         def eval_step(state: TrainState, batch, epoch):
             _, metrics = compute_losses(
                 state.params, batch, jax.random.PRNGKey(0), epoch, True
             )
             return metrics
 
-        return eval_step
+        return _jit_step(eval_step, mesh, n_data_args=1, donate=False)
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch, rng, epoch):
         grad_fn = jax.value_and_grad(
             lambda p: compute_losses(p, batch, rng, epoch, False), has_aux=True
@@ -117,7 +139,7 @@ def make_sambert_step(
             metrics,
         )
 
-    return train_step
+    return _jit_step(train_step, mesh, n_data_args=1)
 
 
 def make_gan_step(
@@ -129,6 +151,7 @@ def make_gan_step(
     pqmf=None,
     train_generator: bool = True,
     include_adversarial: bool = True,
+    mesh=None,
 ):
     """Returns jitted fn(state, wav, mel, rng) -> (state, metrics).
 
@@ -234,7 +257,6 @@ def make_gan_step(
         }
         return dis_loss, (metrics, new_stats)
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: GanTrainState, wav, mel, rng):
         metrics = {}
         gen_params = state.gen_params
@@ -286,7 +308,7 @@ def make_gan_step(
         )
         return new_state, metrics
 
-    return train_step
+    return _jit_step(train_step, mesh, n_data_args=2)
 
 
 def make_gan_eval_step(generator, discriminators, criterion, pqmf=None):
@@ -313,7 +335,7 @@ def make_gan_eval_step(generator, discriminators, criterion, pqmf=None):
     return eval_step
 
 
-def make_sybert_step(model, criterion, tx, train: bool = True):
+def make_sybert_step(model, criterion, tx, train: bool = True, mesh=None):
     """Textsy-BERT masked-LM step (reference trainer.py:1097-1153)."""
 
     def compute(params, batch, rng, deterministic):
@@ -329,14 +351,12 @@ def make_sybert_step(model, criterion, tx, train: bool = True):
         return loss, {"loss": loss, "error_rate": err}
 
     if not train:
-        @jax.jit
         def eval_step(state, batch):
             _, metrics = compute(state.params, batch, jax.random.PRNGKey(0), True)
             return metrics
 
-        return eval_step
+        return _jit_step(eval_step, mesh, n_data_args=1, donate=False)
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch, rng):
         (_, metrics), grads = jax.value_and_grad(
             lambda p: compute(p, batch, rng, False), has_aux=True
@@ -345,4 +365,4 @@ def make_sybert_step(model, criterion, tx, train: bool = True):
         new_params = optax.apply_updates(state.params, updates)
         return TrainState(new_params, new_opt, state.step + 1), metrics
 
-    return train_step
+    return _jit_step(train_step, mesh, n_data_args=1)
