@@ -1,0 +1,112 @@
+"""Train Textsy-BERT (masked-LM pretraining over linguistic symbols).
+
+CLI parity: /root/reference/kantts/bin/train_sybert.py:35-181.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+
+import jax
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))))
+
+from kantts_tpu.data import DataLoader, DistributedSampler, get_bert_text_datasets
+from kantts_tpu.losses import criterion_builder
+from kantts_tpu.models.builder import model_builder
+from kantts_tpu.parallel.mesh import is_primary, make_mesh, replicate
+from kantts_tpu.train.steps import make_sybert_step
+from kantts_tpu.train.trainer import TextsyBertTrainer
+from kantts_tpu.utils.config import load_merged_config, stamp_and_dump
+from kantts_tpu.utils.log import logging_to_file
+
+logging.basicConfig(
+    format="%(asctime)s, %(levelname)-4s [%(filename)s:%(lineno)d] %(message)s",
+    datefmt="%Y-%m-%d:%H:%M:%S",
+    level=logging.INFO,
+)
+
+
+def train(model_config, root_dir, stage_dir, resume_path=None,
+          data_parallel=True):
+    os.makedirs(stage_dir, exist_ok=True)
+    if is_primary():
+        logging_to_file(os.path.join(stage_dir, "stdout.log"))
+
+    config = load_merged_config(
+        root_dir if isinstance(root_dir, str) else root_dir[0], model_config
+    )
+    config = stamp_and_dump(config, stage_dir)
+
+    meta_file = [os.path.join(d, "raw_metafile.txt")
+                 for d in ([root_dir] if isinstance(root_dir, str) else root_dir)]
+    train_dataset, valid_dataset = get_bert_text_datasets(
+        meta_file, root_dir, config, config.get("allow_cache", False)
+    )
+    logging.info("train + valid: %d + %d", len(train_dataset), len(valid_dataset))
+
+    ling_unit_size = train_dataset.ling_unit.get_unit_size()
+    config["Model"]["KanTtsTextsyBERT"]["params"].update(ling_unit_size)
+
+    mesh = make_mesh() if data_parallel and len(jax.devices()) > 1 else None
+    num_replicas = jax.process_count()
+    train_loader = DataLoader(
+        train_dataset, config["batch_size"],
+        sampler=DistributedSampler(len(train_dataset), num_replicas,
+                                   jax.process_index(), shuffle=True),
+    )
+    valid_loader = DataLoader(
+        valid_dataset, config["batch_size"],
+        sampler=DistributedSampler(len(valid_dataset), num_replicas,
+                                   jax.process_index(), shuffle=False),
+        drop_last=False,
+    )
+
+    built = model_builder(config)
+    model, state, tx = built["model"], built["state"], built["tx"]
+    if mesh is not None:
+        state = replicate(state, mesh)
+    criterion = criterion_builder(config)
+
+    trainer = TextsyBertTrainer(
+        config, model, state,
+        make_sybert_step(model, criterion, tx, mesh=mesh),
+        make_sybert_step(model, criterion, tx, train=False, mesh=mesh),
+        train_loader, valid_loader, stage_dir,
+        max_steps=config.get("train_max_steps"),
+        save_interval=config.get("save_interval_steps", 10000),
+        valid_interval=config.get("eval_interval_steps", 10000),
+        log_interval=config.get("log_interval_steps", 1000),
+        mesh=mesh,
+    )
+
+    if resume_path is not None:
+        trainer.load_checkpoint(resume_path, restore_training_state=True)
+
+    try:
+        trainer.train()
+    except (Exception, KeyboardInterrupt) as e:
+        logging.exception(e)
+        trainer.save_checkpoint(
+            os.path.join(trainer.ckpt_dir, f"checkpoint-{trainer.steps}.ckpt")
+        )
+        raise
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Train Textsy-BERT (TPU)")
+    parser.add_argument("--model_config", type=str, required=True)
+    parser.add_argument("--root_dir", type=str, required=True, nargs="+")
+    parser.add_argument("--stage_dir", type=str, required=True)
+    parser.add_argument("--resume_path", type=str, default=None)
+    args = parser.parse_args()
+    root = args.root_dir if len(args.root_dir) > 1 else args.root_dir[0]
+    train(args.model_config, root, args.stage_dir, args.resume_path)
+
+
+if __name__ == "__main__":
+    main()

@@ -19,6 +19,7 @@ Encoding contract:
 
 from __future__ import annotations
 
+import logging
 import re
 from typing import Any, Dict, List
 
@@ -196,11 +197,16 @@ class KanTtsLinguisticUnit:
 
     def _encode_phones(self, text: str) -> List[int]:
         vocab = self.vocabs["sy"]
-        return [
-            vocab.to_id[s]
-            for s in ("@" + p for p in text.split())
-            if s in vocab.to_id
-        ]
+        ids = []
+        for p in text.split():
+            s = "@" + p
+            if s in vocab.to_id:
+                ids.append(vocab.to_id[s])
+            else:
+                # the reference drops unknown phones silently
+                # (should_keep_sy, ling_unit.py:325-326); warn to aid debugging
+                logging.warning("Dropping unknown phone symbol: %s", p)
+        return ids
 
     # ----------------------------------------------------------------- decode
 

@@ -1,0 +1,449 @@
+"""Training orchestration: step loops, interval hooks, checkpoints, eval
+artifacts, TensorBoard metrics.
+
+Parity target: /root/reference/kantts/train/trainer.py — base Trainer
+(train/train_epoch/check_{eval,save,log}_interval, trainer.py:55-273),
+GAN_Trainer (warmup gates + wav/png eval dumps, :276-674), Sambert_Trainer
+(mel/alignment eval dumps, :677-1042), Textsy_BERT_Trainer (:1045-1219).
+
+TPU-native differences: the per-step math lives in the jitted step functions
+(steps.py); this layer only moves numpy batches in, accumulates scalar
+metrics, and gates process-0 side effects (the rank-0 analogue).
+Checkpoints are msgpack pytrees with the same logical layout as the
+reference's torch dicts ({model, optimizer, steps}; GAN nests
+generator/discriminator sub-dicts, trainer.py:591-632).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from collections import defaultdict
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+
+from kantts_tpu.parallel.mesh import is_primary, shard_batch
+from kantts_tpu.train.states import GanTrainState, TrainState
+from kantts_tpu.utils.audio import save_wav
+from kantts_tpu.utils.plot import plot_alignment, plot_spectrogram, plot_waveform
+
+try:
+    from tensorboardX import SummaryWriter
+except ImportError:  # pragma: no cover
+    SummaryWriter = None
+
+
+def save_checkpoint_bytes(tree: Any, path: str) -> None:
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(tree))
+
+
+def load_checkpoint_bytes(target: Any, path: str) -> Any:
+    with open(path, "rb") as f:
+        return serialization.from_bytes(target, f.read())
+
+
+class Trainer:
+    """Step-driven loop with interval-gated eval/save/log
+    (reference trainer.py:195-222)."""
+
+    def __init__(self, config, train_loader, valid_loader, save_dir,
+                 max_steps=None, save_interval=1, valid_interval=1,
+                 log_interval=10, mesh=None):
+        self.config = config
+        self.train_loader = train_loader
+        self.valid_loader = valid_loader
+        self.save_dir = save_dir
+        self.max_steps = max_steps if max_steps is not None else 10 ** 12
+        self.save_interval = save_interval
+        self.valid_interval = valid_interval
+        self.log_interval = log_interval
+        self.mesh = mesh
+
+        self.steps = 1
+        self.epoch = 0
+        self.finish_training = False
+        self.total_train_loss = defaultdict(float)
+        self.total_eval_loss = defaultdict(float)
+
+        self.log_dir = os.path.join(save_dir, "log")
+        self.ckpt_dir = os.path.join(save_dir, "ckpt")
+        if is_primary():
+            os.makedirs(self.log_dir, exist_ok=True)
+            os.makedirs(self.ckpt_dir, exist_ok=True)
+        self.writer = (SummaryWriter(self.log_dir)
+                       if SummaryWriter and is_primary() else None)
+        self.rng = jax.random.PRNGKey(config.get("seed", 0))
+
+    # ------------------------------------------------------------------ loop
+
+    def train(self):
+        while not self.finish_training:
+            self.train_epoch()
+            self.epoch += 1
+            self.check_stop_training()
+
+    def train_epoch(self):
+        for batch in self.train_loader:
+            self.train_step(batch)
+            if is_primary():
+                self.check_eval_interval()
+                self.check_save_interval()
+                self.check_log_interval()
+            self.steps += 1
+            self.check_stop_training()
+            if self.finish_training:
+                break
+        logging.info("Epoch %d finished", self.epoch)
+        if hasattr(self.train_loader, "sampler"):
+            self.train_loader.sampler.set_epoch(self.epoch + 1)
+
+    def check_stop_training(self):
+        if self.steps >= self.max_steps:
+            self.finish_training = True
+
+    def next_rng(self):
+        self.rng, sub = jax.random.split(self.rng)
+        return sub
+
+    def maybe_shard(self, batch):
+        if self.mesh is not None:
+            return shard_batch(batch, self.mesh)
+        return batch
+
+    # ------------------------------------------------------------- intervals
+
+    def check_save_interval(self):
+        if self.ckpt_dir and self.steps % self.save_interval == 0:
+            path = os.path.join(self.ckpt_dir, f"checkpoint_{self.steps}.ckpt")
+            self.save_checkpoint(path)
+            logging.info("Checkpoint saved at step %d", self.steps)
+
+    def check_log_interval(self):
+        if self.steps % self.log_interval == 0:
+            for key in list(self.total_train_loss.keys()):
+                self.total_train_loss[key] /= self.log_interval
+                logging.info("(Steps: %d) %s = %.4f.", self.steps, key,
+                             self.total_train_loss[key])
+            self.write_to_tensorboard(self.total_train_loss)
+            self.total_train_loss = defaultdict(float)
+
+    def check_eval_interval(self):
+        if self.valid_interval > 0 and self.steps % self.valid_interval == 0:
+            self.eval_epoch()
+
+    def write_to_tensorboard(self, metrics: Dict[str, float]):
+        if self.writer is not None:
+            for key, value in metrics.items():
+                self.writer.add_scalar(key, float(value), self.steps)
+
+    def accumulate(self, store, metrics: Dict[str, Any], prefix: str):
+        for key, value in metrics.items():
+            store[f"{prefix}/{key}"] += float(value)
+
+    # ------------------------------------------------------------------ eval
+
+    def eval_epoch(self):
+        logging.info("(Epoch: %d) Start evaluation.", self.epoch)
+        self.total_eval_loss = defaultdict(float)
+        num_batches = max(1, len(self.valid_loader))
+        rand_idx = np.random.randint(0, num_batches)
+        for idx, batch in enumerate(self.valid_loader):
+            self.eval_step(batch)
+            if idx == rand_idx:
+                self.generate_and_save_intermediate_result(batch)
+        for key in list(self.total_eval_loss.keys()):
+            self.total_eval_loss[key] /= num_batches
+            logging.info("(Steps: %d) %s = %.4f.", self.steps, key,
+                         self.total_eval_loss[key])
+        self.write_to_tensorboard(self.total_eval_loss)
+        logging.info("Epoch %d evaluation finished", self.epoch)
+
+    # --------------------------------------------------- subclass interface
+
+    def train_step(self, batch):
+        raise NotImplementedError
+
+    def eval_step(self, batch):
+        raise NotImplementedError
+
+    def generate_and_save_intermediate_result(self, batch):
+        pass
+
+    def save_checkpoint(self, path):
+        raise NotImplementedError
+
+    def load_checkpoint(self, path, restore_training_state=False):
+        raise NotImplementedError
+
+
+class SambertTrainer(Trainer):
+    """Single-optimizer acoustic-model trainer (reference trainer.py:677-1042)."""
+
+    def __init__(self, config, model, state: TrainState, train_step_fn,
+                 eval_step_fn, train_loader, valid_loader, save_dir, **kwargs):
+        super().__init__(config, train_loader, valid_loader, save_dir, **kwargs)
+        self.model = model
+        self.state = state
+        self.train_step_fn = train_step_fn
+        self.eval_step_fn = eval_step_fn
+
+    def _prep(self, batch):
+        batch = {k: v for k, v in batch.items() if v is not None}
+        return self.maybe_shard(batch)
+
+    def train_step(self, batch):
+        self.state, metrics = self.train_step_fn(
+            self.state, self._prep(batch), self.next_rng(),
+            jnp.asarray(self.epoch),
+        )
+        self.accumulate(self.total_train_loss, metrics, "train")
+
+    def eval_step(self, batch):
+        metrics = self.eval_step_fn(self.state, self._prep(batch),
+                                    jnp.asarray(self.epoch))
+        self.accumulate(self.total_eval_loss, metrics, "eval")
+
+    def generate_and_save_intermediate_result(self, batch):
+        """Dump target/predicted mels as images + npy (reference
+        trainer.py:718-798, without per-head attention dumps)."""
+        out_dir = os.path.join(self.save_dir,
+                               f"intermediate_results_{self.steps}")
+        os.makedirs(out_dir, exist_ok=True)
+        from kantts_tpu.models.sambert.sambert import KanTtsSAMBERT
+
+        res = self.model.apply(
+            {"params": _unreplicate(self.state.params)},
+            jnp.asarray(batch["input_lings"]),
+            jnp.asarray(batch["input_emotions"]),
+            jnp.asarray(batch["input_speakers"]),
+            jnp.asarray(batch["valid_input_lengths"]),
+            jnp.asarray(batch["valid_output_lengths"]),
+            jnp.asarray(batch["mel_targets"]),
+            duration_targets=(jnp.asarray(batch["durations"])
+                              if batch.get("durations") is not None else None),
+            pitch_targets=jnp.asarray(batch["pitch_contours"]),
+            energy_targets=jnp.asarray(batch["energy_contours"]),
+            attn_priors=(jnp.asarray(batch["attn_priors"])
+                         if batch.get("attn_priors") is not None else None),
+            deterministic=True,
+        )
+        n = min(4, batch["mel_targets"].shape[0])
+        for i in range(n):
+            L = int(batch["valid_output_lengths"][i])
+            plot_spectrogram(np.asarray(res["postnet_outputs"])[i, :L],
+                             os.path.join(out_dir, f"{i}_postnet.png"))
+            plot_spectrogram(np.asarray(batch["mel_targets"])[i, :L],
+                             os.path.join(out_dir, f"{i}_target.png"))
+            np.save(os.path.join(out_dir, f"{i}_mel.npy"),
+                    np.asarray(res["postnet_outputs"])[i, :L])
+            if res.get("attn_soft") is not None:
+                plot_alignment(np.asarray(res["attn_soft"])[i, 0],
+                               os.path.join(out_dir, f"{i}_attn.png"))
+
+    def save_checkpoint(self, path):
+        tree = {
+            "model": _unreplicate(self.state.params),
+            "optimizer": _unreplicate(self.state.opt_state),
+            "steps": self.steps,
+        }
+        save_checkpoint_bytes(tree, path)
+
+    def load_checkpoint(self, path, restore_training_state=False):
+        target = {
+            "model": self.state.params,
+            "optimizer": self.state.opt_state,
+            "steps": 0,
+        }
+        loaded = load_checkpoint_bytes(target, path)
+        opt_state = (loaded["optimizer"] if restore_training_state
+                     else self.state.opt_state)
+        step = loaded["steps"] if restore_training_state else self.state.step
+        self.state = TrainState(loaded["model"], opt_state, jnp.asarray(step))
+        if restore_training_state:
+            self.steps = int(loaded["steps"])
+
+
+class GanTrainer(Trainer):
+    """Two-optimizer adversarial trainer with warmup gates
+    (reference trainer.py:276-674)."""
+
+    def __init__(self, config, generator, discriminators, state: GanTrainState,
+                 make_step_fn, eval_step_fn, train_loader, valid_loader,
+                 save_dir, pqmf=None, sampling_rate=16000, **kwargs):
+        super().__init__(config, train_loader, valid_loader, save_dir, **kwargs)
+        self.generator = generator
+        self.discriminators = discriminators
+        self.state = state
+        self.make_step_fn = make_step_fn  # (train_gen, include_adv) -> step fn
+        self.eval_step_fn = eval_step_fn
+        self.pqmf = pqmf
+        self.sampling_rate = sampling_rate
+        self.gen_start = config.get("generator_train_start_steps", 0)
+        self.disc_start = config.get("discriminator_train_start_steps", 0)
+        self._step_cache: Dict[tuple, Any] = {}
+
+    def _step_fn(self):
+        train_gen = self.steps >= self.gen_start
+        include_adv = self.steps > self.disc_start
+        key = (train_gen, include_adv)
+        if key not in self._step_cache:
+            self._step_cache[key] = self.make_step_fn(train_gen, include_adv)
+        return self._step_cache[key]
+
+    def train_step(self, batch):
+        wav, mel = batch
+        wav, mel = self.maybe_shard(wav), self.maybe_shard(mel)
+        self.state, metrics = self._step_fn()(self.state, wav, mel,
+                                              self.next_rng())
+        self.accumulate(self.total_train_loss, metrics, "train")
+
+    def eval_step(self, batch):
+        wav, mel = batch
+        metrics, _ = self.eval_step_fn(self.state, self.maybe_shard(wav),
+                                       self.maybe_shard(mel), self.next_rng())
+        self.accumulate(self.total_eval_loss, metrics, "eval")
+
+    def generate_and_save_intermediate_result(self, batch):
+        """Render reference vs generated wavs + waveform pngs
+        (reference trainer.py:334-385)."""
+        wav, mel = batch
+        _, y_gen = self.eval_step_fn(self.state, jnp.asarray(wav),
+                                     jnp.asarray(mel), self.next_rng())
+        out_dir = os.path.join(self.save_dir,
+                               f"intermediate_results_{self.steps}")
+        os.makedirs(out_dir, exist_ok=True)
+        n = min(4, wav.shape[0])
+        for i in range(n):
+            ref = np.asarray(wav)[i, :, 0]
+            gen = np.asarray(y_gen)[i, :, 0]
+            save_wav(ref, os.path.join(out_dir, f"{i}_ref.wav"),
+                     self.sampling_rate)
+            save_wav(gen, os.path.join(out_dir, f"{i}_gen.wav"),
+                     self.sampling_rate)
+            plot_waveform(ref, os.path.join(out_dir, f"{i}_ref.png"),
+                          self.sampling_rate)
+            plot_waveform(gen, os.path.join(out_dir, f"{i}_gen.png"),
+                          self.sampling_rate)
+
+    def save_checkpoint(self, path):
+        tree = {
+            "model": {
+                "generator": _unreplicate(self.state.gen_params),
+                "discriminator": _unreplicate(self.state.disc_params),
+            },
+            "optimizer": {
+                "generator": _unreplicate(self.state.gen_opt_state),
+                "discriminator": _unreplicate(self.state.disc_opt_states),
+            },
+            "spectral": _unreplicate(self.state.spectral),
+            "steps": self.steps,
+        }
+        save_checkpoint_bytes(tree, path)
+
+    def load_checkpoint(self, path, restore_training_state=False):
+        target = {
+            "model": {"generator": self.state.gen_params,
+                      "discriminator": self.state.disc_params},
+            "optimizer": {"generator": self.state.gen_opt_state,
+                          "discriminator": self.state.disc_opt_states},
+            "spectral": self.state.spectral,
+            "steps": 0,
+        }
+        loaded = load_checkpoint_bytes(target, path)
+        if restore_training_state:
+            self.steps = int(loaded["steps"])
+            self.state = GanTrainState(
+                loaded["model"]["generator"],
+                loaded["optimizer"]["generator"],
+                loaded["model"]["discriminator"],
+                loaded["optimizer"]["discriminator"],
+                loaded["spectral"],
+                jnp.asarray(self.steps),
+            )
+        else:  # fine-tune style: weights only (reference train_hifigan.py:167)
+            self.state = GanTrainState(
+                loaded["model"]["generator"],
+                self.state.gen_opt_state,
+                loaded["model"]["discriminator"],
+                self.state.disc_opt_states,
+                loaded["spectral"],
+                self.state.step,
+            )
+
+
+class TextsyBertTrainer(Trainer):
+    """Masked-LM pretraining trainer (reference trainer.py:1045-1219)."""
+
+    def __init__(self, config, model, state: TrainState, train_step_fn,
+                 eval_step_fn, train_loader, valid_loader, save_dir, **kwargs):
+        super().__init__(config, train_loader, valid_loader, save_dir, **kwargs)
+        self.model = model
+        self.state = state
+        self.train_step_fn = train_step_fn
+        self.eval_step_fn = eval_step_fn
+
+    def train_step(self, batch):
+        self.state, metrics = self.train_step_fn(
+            self.state, self.maybe_shard(dict(batch)), self.next_rng()
+        )
+        self.accumulate(self.total_train_loss, metrics, "train")
+
+    def eval_step(self, batch):
+        metrics = self.eval_step_fn(self.state, self.maybe_shard(dict(batch)))
+        self.accumulate(self.total_eval_loss, metrics, "eval")
+
+    def save_checkpoint(self, path):
+        save_checkpoint_bytes({
+            "model": _unreplicate(self.state.params),
+            "optimizer": _unreplicate(self.state.opt_state),
+            "steps": self.steps,
+        }, path)
+
+    def load_checkpoint(self, path, restore_training_state=False):
+        target = {"model": self.state.params,
+                  "optimizer": self.state.opt_state, "steps": 0}
+        loaded = load_checkpoint_bytes(target, path)
+        opt_state = (loaded["optimizer"] if restore_training_state
+                     else self.state.opt_state)
+        self.state = TrainState(loaded["model"], opt_state, self.state.step)
+        if restore_training_state:
+            self.steps = int(loaded["steps"])
+
+
+def _unreplicate(tree):
+    """Fetch a host-local copy of (possibly sharded/replicated) arrays."""
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def load_sambert_encoder_from_sybert(params, sybert_ckpt_path):
+    """Warm-start SAM-BERT's text encoder from a Textsy-BERT checkpoint
+    (reference --resume_bert_path, trainer.py:150-161 with strict=False).
+
+    Copies the shared ``text_encoder`` subtree where shapes match.
+    """
+    import copy
+
+    with open(sybert_ckpt_path, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    bert_encoder = payload["model"].get("text_encoder", {})
+    params = copy.deepcopy(jax.tree_util.tree_map(np.asarray, params))
+
+    def merge(dst, src):
+        for key, value in src.items():
+            if key not in dst:
+                continue
+            if isinstance(value, dict):
+                merge(dst[key], value)
+            elif hasattr(dst[key], "shape") and dst[key].shape == value.shape:
+                dst[key] = value
+        return dst
+
+    if "text_encoder" in params:
+        merge(params["text_encoder"], bert_encoder)
+    return params
