@@ -84,10 +84,12 @@ def train(model_config, root_dir, stage_dir, resume_path=None,
     with_mas = params_cfg.get("MAS", False)
     fp_enable = params_cfg.get("FP", False)
 
+    fp_dict_lings = train_dataset.fp_dict_lings if fp_enable else None
     train_step = make_sambert_step(model, criterion, tx, with_mas, fp_enable,
-                                   mesh=mesh)
+                                   mesh=mesh, fp_dict_lings=fp_dict_lings)
     eval_step = make_sambert_step(model, criterion, tx, with_mas, fp_enable,
-                                  train=False, mesh=mesh)
+                                  train=False, mesh=mesh,
+                                  fp_dict_lings=fp_dict_lings)
 
     trainer = SambertTrainer(
         config, model, state, train_step, eval_step, train_loader,

@@ -324,6 +324,11 @@ class AMDataset:
             self.meta.extend(self._load_meta(meta, data_dir))
 
         self.ling_unit = KanTtsLinguisticUnit(config)
+        if self.fp_enable:
+            from kantts_tpu.text.ling_unit import get_fpdict
+
+            fpd = get_fpdict(config)
+            self.fp_dict_lings = np.stack([fpd[1], fpd[2], fpd[3]]).astype(np.int32)
         self.allow_cache = allow_cache
         self.caches = [() for _ in self.meta] if allow_cache else []
 
@@ -480,11 +485,35 @@ class AMDataset:
 
         data["mel_targets"] = Padder.stack_2d([x[1] for x in batch], L_mel, 0.0)
 
+        # FP: host-built insertion plan (see models/sambert/fp.py); the
+        # augmented ("inter") length L governs durations/pitch/energy padding
+        L_feats = L_in
+        if self.fp_enable:
+            from kantts_tpu.models.sambert.fp import build_fp_insertion_plan
+
+            max_dur = max((len(x[2]) for x in batch if x[2] is not None),
+                          default=0)
+            # L must fit both the augmented sequences and the duration arrays
+            # (+1 stash slot, reference Padder._pad_durations semantics)
+            inter_max = max(
+                int(data["valid_input_lengths"][i])
+                + 3 * int((np.asarray(batch[i][6])[: data["valid_input_lengths"][i]] > 0).sum())
+                for i in range(len(batch))
+            )
+            out_len = Padder.round_up(max(inter_max, max_dur + 1, 1),
+                                      self.input_bucket)
+            src_idx, f_class, f_phase, inter_lengths, L_feats = \
+                build_fp_insertion_plan(
+                    data["fp_label"], data["valid_input_lengths"],
+                    out_len=out_len, bucket=self.input_bucket,
+                )
+            data["fp_plan"] = (src_idx, f_class, f_phase, inter_lengths)
+
         if self.with_duration:
             data["durations"] = np.stack([
-                Padder.pad_durations(x[2], L_in, L_mel) for x in batch
+                Padder.pad_durations(x[2], L_feats, L_mel) for x in batch
             ]).astype(np.float32)
-            feats_len = L_in
+            feats_len = L_feats
         else:
             data["durations"] = None
             feats_len = L_mel

@@ -37,6 +37,7 @@ from kantts_tpu.models.sambert.adaptors import (
 from kantts_tpu.models.sambert.alignment import b_mas
 from kantts_tpu.models.sambert.attention import ConvAttention
 from kantts_tpu.models.sambert.common import FFTBlock, conv1d_same, torch_linear
+from kantts_tpu.models.sambert.fp import apply_fp_insertion
 from kantts_tpu.models.sambert.fsmn import FsmnEncoderV2
 from kantts_tpu.models.sambert.lstm import LSTM
 from kantts_tpu.models.sambert.pnca import MelPNCADecoder, pnca_decoder_infer
@@ -361,6 +362,8 @@ class KanTtsSAMBERT(nn.Module):
         energy_targets: Optional[jnp.ndarray] = None,
         attn_priors: Optional[jnp.ndarray] = None,
         fp_label: Optional[jnp.ndarray] = None,
+        fp_plan: Optional[Tuple[jnp.ndarray, ...]] = None,
+        fp_dict_lings: Optional[jnp.ndarray] = None,
         deterministic: bool = False,
     ) -> Dict[str, Any]:
         """Teacher-forced training forward. Shapes are static; mel length is a
@@ -376,9 +379,28 @@ class KanTtsSAMBERT(nn.Module):
 
         res: Dict[str, Any] = {"enc_slf_attn_lst": enc_attns}
 
+        inter_lengths = input_lengths
         fp_p = None
         if self.fp_enable:
             fp_p = self.FP_predictor(text_hid, deterministic)
+            if fp_plan is not None:
+                # splice encoded filler syllables into the text hiddens
+                # (reference insert_fp, kantts_sambert.py:766-860; the plan is
+                # host-built — see models/sambert/fp.py)
+                src_idx, filler_class, filler_phase, plan_lengths = fp_plan
+                filler_bank, _, _ = self.encode(
+                    fp_dict_lings, None, deterministic
+                )  # (3 classes, 3 phases, D)
+                text_hid = apply_fp_insertion(
+                    text_hid, filler_bank, src_idx, filler_class, filler_phase
+                )
+                L = text_hid.shape[1]
+                wrap = jnp.arange(L) % T_in
+                inputs_emotion = inputs_emotion[:, wrap]
+                inputs_speaker = (inputs_speaker[:, wrap]
+                                  if inputs_speaker.ndim == 2
+                                  else inputs_speaker[:, wrap, :])
+                inter_lengths = plan_lengths
 
         if self.mas_enable:
             attn_soft, attn_logprob = self.align_attention(
@@ -401,7 +423,7 @@ class KanTtsSAMBERT(nn.Module):
                        attn_logprob=attn_logprob)
 
         emo_hid, spk_hid = self.tokenize(inputs_emotion, inputs_speaker)
-        inter_masks = input_masks
+        inter_masks = get_mask_from_lengths(inter_lengths, text_hid.shape[1])
         output_masks = get_mask_from_lengths(output_lengths, T_mel)
 
         (pitch_predictions, energy_predictions, text_aug,
@@ -453,7 +475,7 @@ class KanTtsSAMBERT(nn.Module):
             pitch_targets=pitch_targets,
             energy_targets=energy_targets,
             fp_predictions=fp_p,
-            valid_inter_lengths=input_lengths,
+            valid_inter_lengths=inter_lengths,
             LR_text_outputs=LR_text,
             LR_emo_outputs=LR_emo,
             LR_spk_outputs=LR_spk,
@@ -479,6 +501,64 @@ class KanTtsTextsyBERT(nn.Module):
 # -------------------------------------------------------------------- infer
 
 
+def sambert_infer_fp(
+    model: KanTtsSAMBERT,
+    variables,
+    inputs_ling: jnp.ndarray,
+    inputs_emotion: jnp.ndarray,
+    inputs_speaker: jnp.ndarray,
+    input_lengths: jnp.ndarray,
+    fp_dict_lings: jnp.ndarray,
+    max_output_len: int,
+) -> Dict[str, jnp.ndarray]:
+    """FP-mode inference: predict filled-pause classes, splice the encoded
+    filler triples on the host (reference kantts_sambert.py:786-860 with
+    FP_p-derived fp_mask), then run the standard acoustic inference on the
+    augmented sequence via a pre-encoded text-hidden override."""
+    import numpy as np
+
+    from kantts_tpu.models.sambert.fp import (
+        apply_fp_insertion,
+        build_fp_insertion_plan,
+        fp_classes_from_predictions,
+    )
+
+    B, T_in = inputs_ling.shape[:2]
+    input_masks = get_mask_from_lengths(input_lengths, T_in)
+    text_hid, _, _ = model.apply(
+        variables, inputs_ling, input_masks, True, method=KanTtsSAMBERT.encode
+    )
+    fp_p = model.apply(
+        variables, text_hid, True,
+        method=lambda m, h, det: m.FP_predictor(h, det),
+    )
+    fp_classes = fp_classes_from_predictions(np.asarray(fp_p),
+                                             np.asarray(input_masks))
+    src_idx, f_class, f_phase, inter_lengths, L = build_fp_insertion_plan(
+        fp_classes, np.asarray(input_lengths)
+    )
+    filler_bank, _, _ = model.apply(
+        variables, fp_dict_lings, None, True, method=KanTtsSAMBERT.encode
+    )
+    text_hid_aug = apply_fp_insertion(
+        text_hid, filler_bank, jnp.asarray(src_idx), jnp.asarray(f_class),
+        jnp.asarray(f_phase),
+    )
+    wrap = np.arange(L) % T_in
+    emo_aug = jnp.asarray(np.asarray(inputs_emotion)[:, wrap])
+    spk = np.asarray(inputs_speaker)
+    spk_aug = jnp.asarray(spk[:, wrap] if spk.ndim == 2 else spk[:, wrap, :])
+
+    res = sambert_infer(
+        model, variables, inputs_ling, emo_aug, spk_aug,
+        jnp.asarray(inter_lengths), max_output_len,
+        text_hid_override=text_hid_aug,
+    )
+    res["fp_predictions"] = fp_p
+    res["valid_inter_lengths"] = jnp.asarray(inter_lengths)
+    return res
+
+
 def sambert_infer(
     model: KanTtsSAMBERT,
     variables,
@@ -487,23 +567,30 @@ def sambert_infer(
     inputs_speaker: jnp.ndarray,
     input_lengths: jnp.ndarray,
     max_output_len: int,
+    text_hid_override: Optional[jnp.ndarray] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Full acoustic inference: text -> mel. Jittable end-to-end.
 
     max_output_len: static output frame budget (multiple of r). Valid length
     is returned as LR_length_rounded (reference am_synthesis slices to it,
-    bin/infer_sambert.py:136-138).
+    bin/infer_sambert.py:136-138). ``text_hid_override`` feeds an externally
+    prepared text-hidden sequence (the FP insertion path).
     """
     cfg = model.config
     r = cfg["outputs_per_step"]
     assert max_output_len % r == 0
-    B, T_in = inputs_ling.shape[:2]
 
-    input_masks = get_mask_from_lengths(input_lengths, T_in)
-
-    text_hid, _, _ = model.apply(
-        variables, inputs_ling, input_masks, True, method=KanTtsSAMBERT.encode
-    )
+    if text_hid_override is not None:
+        text_hid = text_hid_override
+        B, T_in = text_hid.shape[:2]
+        input_masks = get_mask_from_lengths(input_lengths, T_in)
+    else:
+        B, T_in = inputs_ling.shape[:2]
+        input_masks = get_mask_from_lengths(input_lengths, T_in)
+        text_hid, _, _ = model.apply(
+            variables, inputs_ling, input_masks, True,
+            method=KanTtsSAMBERT.encode,
+        )
     emo_hid, spk_hid = model.apply(
         variables, inputs_emotion, inputs_speaker, method=KanTtsSAMBERT.tokenize
     )

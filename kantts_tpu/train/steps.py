@@ -57,6 +57,7 @@ def make_sambert_step(
     fp_enable: bool,
     train: bool = True,
     mesh=None,
+    fp_dict_lings=None,
 ):
     """Returns jitted fn(state, batch, rng, epoch) -> (state, metrics).
     With ``mesh``, the batch is sharded over the ``data`` axis and state is
@@ -77,6 +78,9 @@ def make_sambert_step(
             energy_targets=batch["energy_contours"],
             attn_priors=batch.get("attn_priors"),
             fp_label=batch.get("fp_label"),
+            fp_plan=batch.get("fp_plan"),
+            fp_dict_lings=(jnp.asarray(fp_dict_lings)
+                           if fp_dict_lings is not None else None),
             deterministic=deterministic,
             rngs=rngs,
         )
