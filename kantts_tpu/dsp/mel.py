@@ -244,7 +244,7 @@ class LossMelSpectrogram:
 
 @partial(jax.jit, static_argnames=(
     "sampling_rate", "n_fft", "hop_length", "win_length", "n_mels",
-    "symmetric",
+    "max_norm", "min_level_db", "ref_level_db", "fmin", "fmax", "symmetric",
 ))
 def melspectrogram(
     wav: jnp.ndarray,
