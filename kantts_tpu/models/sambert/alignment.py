@@ -81,6 +81,19 @@ def b_mas(attn: jnp.ndarray, in_lens: jnp.ndarray, out_lens: jnp.ndarray
     return hard[:, None]
 
 
+def mas_align(attn: jnp.ndarray, in_lens: jnp.ndarray, out_lens: jnp.ndarray,
+              backend: str = "auto") -> jnp.ndarray:
+    """Dispatch MAS to the Pallas kernel on TPU (ops/mas_pallas.py) or the
+    lax.scan implementation elsewhere. Both are numerically identical."""
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() not in ("cpu", "gpu") else "scan"
+    if backend == "pallas":
+        from kantts_tpu.ops.mas_pallas import b_mas_pallas
+
+        return b_mas_pallas(attn, in_lens, out_lens)
+    return b_mas(attn, in_lens, out_lens)
+
+
 # ------------------------------------------------------------- numpy twin
 
 

@@ -34,7 +34,7 @@ from kantts_tpu.models.sambert.adaptors import (
     VarRnnARPredictor,
     length_regulate,
 )
-from kantts_tpu.models.sambert.alignment import b_mas
+from kantts_tpu.models.sambert.alignment import mas_align
 from kantts_tpu.models.sambert.attention import ConvAttention
 from kantts_tpu.models.sambert.common import FFTBlock, conv1d_same, torch_linear
 from kantts_tpu.models.sambert.fp import apply_fp_insertion
@@ -407,7 +407,7 @@ class KanTtsSAMBERT(nn.Module):
                 mel_targets, ling_emb, input_masks, attn_priors
             )
             attn_hard = jax.lax.stop_gradient(
-                b_mas(attn_soft, input_lengths, output_lengths)
+                mas_align(attn_soft, input_lengths, output_lengths)
             )
             mas_durations = attn_hard.sum(axis=2)[:, 0, :]  # (B, T_in)
             duration_targets = mas_durations
