@@ -406,8 +406,10 @@ class KanTtsSAMBERT(nn.Module):
             attn_soft, attn_logprob = self.align_attention(
                 mel_targets, ling_emb, input_masks, attn_priors
             )
-            attn_hard = jax.lax.stop_gradient(
-                mas_align(attn_soft, input_lengths, output_lengths)
+            # stop_gradient on the INPUT keeps the (non-differentiable) MAS
+            # kernel entirely outside the autodiff trace
+            attn_hard = mas_align(
+                jax.lax.stop_gradient(attn_soft), input_lengths, output_lengths
             )
             mas_durations = attn_hard.sum(axis=2)[:, 0, :]  # (B, T_in)
             duration_targets = mas_durations
