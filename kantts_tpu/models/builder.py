@@ -50,6 +50,10 @@ def hifigan_model_builder(config: Dict[str, Any], seed: int = 0
     gen_params_cfg = dict(model_cfg["Generator"]["params"])
     gen_kwargs = _tuplify(gen_params_cfg)
     gen_kwargs["nsf_params"] = gen_params_cfg.get("nsf_params")  # keep dict
+    # optional bf16 compute (params stay f32): config key `mixed_precision`
+    compute_dtype = (jnp.bfloat16 if config.get("mixed_precision", False)
+                     else jnp.float32)
+    gen_kwargs["dtype"] = compute_dtype
     generator = Generator(**gen_kwargs)
 
     discriminators = {}
@@ -60,6 +64,7 @@ def hifigan_model_builder(config: Dict[str, Any], seed: int = 0
             dparams["discriminator_params"] = dict(
                 model_cfg[name].get("params", {}).get("discriminator_params", {})
             )
+            dparams["dtype"] = compute_dtype
             discriminators[name] = cls(**dparams)
 
     pqmf = None
