@@ -263,6 +263,24 @@ def test_full_text_to_wav(trained_sambert, trained_hifigan, tmp_path):
     assert np.isfinite(wav).all()
 
 
+def test_hifigan_resume_weights_only(trained_hifigan, corpus, tmp_path):
+    """Fine-tune-style resume: weights restored, steps reset (reference
+    train_hifigan.py:167 restore_training_state=False)."""
+    from kantts_tpu.bin.train_hifigan import train
+
+    stage, ckpt = trained_hifigan
+    stage2 = tmp_path / "voc_resume"
+    stage2.mkdir()
+    cfg = dict(HIFIGAN_TINY)
+    cfg["train_max_steps"] = 3
+    cfg["save_interval_steps"] = 2
+    cfg_path = stage2 / "model.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    train(str(cfg_path), str(corpus), str(stage2), resume_path=ckpt,
+          data_parallel=False)
+    assert glob.glob(str(stage2 / "ckpt" / "*.ckpt"))
+
+
 def test_sambert_resume(trained_sambert, corpus, tmp_path):
     """Checkpoint round-trip: resume restores steps and params."""
     from kantts_tpu.bin.train_sambert import train
