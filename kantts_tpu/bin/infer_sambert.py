@@ -69,6 +69,28 @@ def load_am_checkpoint(ckpt: str, config_path: str | None = None):
     return model, {"params": params}, ling_unit, config
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=16)
+def _jitted_infer(model_key, max_output_len):
+    """One compiled program per (model, output budget); input length buckets
+    re-trace automatically through jit's shape cache."""
+    import jax
+
+    model = _MODEL_REGISTRY[model_key]
+
+    @jax.jit
+    def fn(variables, ling, emo, spk, lengths):
+        return sambert_infer(model, variables, ling, emo, spk, lengths,
+                             max_output_len=max_output_len)
+
+    return fn
+
+
+_MODEL_REGISTRY = {}
+
+
 def am_synthesis(symbol_seq, model, variables, ling_unit, se=None,
                  input_bucket=32, frames_per_symbol=24):
     """One utterance: encode symbols and run the jitted acoustic forward
@@ -98,10 +120,11 @@ def am_synthesis(symbol_seq, model, variables, ling_unit, se=None,
     lengths = np.asarray([n], dtype=np.int32)
 
     max_output_len = int(np.ceil(L_in * frames_per_symbol / r) * r)
-    res = sambert_infer(
-        model, variables, jnp.asarray(ling), jnp.asarray(emo),
-        jnp.asarray(spk), jnp.asarray(lengths), max_output_len=max_output_len,
-    )
+    model_key = id(model)
+    _MODEL_REGISTRY[model_key] = model
+    fn = _jitted_infer(model_key, max_output_len)
+    res = fn(variables, jnp.asarray(ling), jnp.asarray(emo),
+             jnp.asarray(spk), jnp.asarray(lengths))
     valid = int(res["LR_length_rounded"][0])
     if valid == 0:
         # degenerate duration predictions (e.g. untrained model): emit a
