@@ -22,7 +22,6 @@ from kantts_tpu.data import DataLoader, DistributedSampler, get_am_datasets
 from kantts_tpu.losses import criterion_builder
 from kantts_tpu.models.builder import model_builder
 from kantts_tpu.parallel.mesh import is_primary, make_mesh, replicate
-from kantts_tpu.text.ling_unit import KanTtsLinguisticUnit
 from kantts_tpu.train.steps import make_sambert_step
 from kantts_tpu.train.trainer import SambertTrainer, load_sambert_encoder_from_sybert
 from kantts_tpu.train.states import TrainState

@@ -19,7 +19,6 @@ reference bin/train_sambert.py:108-122).
 from __future__ import annotations
 
 import glob
-import logging
 import math
 import os
 import random

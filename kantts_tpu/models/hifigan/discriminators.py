@@ -12,7 +12,7 @@ reference's pytorch_wavelets dependency (hifigan.py:445-454).
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -18,8 +18,7 @@ control flow. Donated states give in-place buffer reuse.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
