@@ -157,8 +157,31 @@ class VocDataset:
                 raise ValueError(f"[VocDataset] meta file not found: {meta}")
             self.meta.extend(self._load_meta(meta, data_dir))
 
+        if not self.meta:
+            # metafile-less fallback: pair wav/ with mel/ directly
+            # (reference dataset.py:142-155)
+            for data_dir in root_dir:
+                self.meta.extend(self.load_meta_from_dir(
+                    os.path.join(data_dir, "wav"), os.path.join(data_dir, "mel")
+                ))
+
         self.allow_cache = config.get("allow_cache", False)
         self.caches: List[Tuple] = [() for _ in self.meta] if self.allow_cache else []
+
+    @staticmethod
+    def load_meta_from_dir(wav_dir, mel_dir):
+        items = []
+        for wav_file in sorted(glob.glob(os.path.join(wav_dir, "*.wav"))):
+            index = os.path.splitext(os.path.basename(wav_file))[0]
+            mel_file = os.path.join(mel_dir, index + ".npy")
+            if os.path.exists(mel_file):
+                base = os.path.dirname(wav_dir)
+                items.append((
+                    wav_file, mel_file,
+                    os.path.join(base, "frame_f0", index + ".npy"),
+                    os.path.join(base, "frame_uv", index + ".npy"),
+                ))
+        return items
 
     @staticmethod
     def gen_metafile(wav_dir, out_dir, split_ratio=0.98):
