@@ -122,8 +122,8 @@ def sambert_model_builder(config: Dict[str, Any], seed: int = 0
     params_cfg = dict(config["Model"]["KanTtsSAMBERT"]["params"])
     model = KanTtsSAMBERT(params_cfg)
     r = params_cfg["outputs_per_step"]
+    # NSF configs already include the f0/uv channels in num_mels (e.g. 82)
     n_mels = params_cfg["num_mels"]
-    mel_extra = 2 if params_cfg.get("NSF", False) else 0
 
     B, T_in, T_mel = 2, 8, 4 * r
     n_ling = 1 if params_cfg.get("using_byte", False) else 4
@@ -139,7 +139,7 @@ def sambert_model_builder(config: Dict[str, Any], seed: int = 0
         spk_dummy,
         jnp.full((B,), T_in, dtype=jnp.int32),
         jnp.full((B,), T_mel, dtype=jnp.int32),
-        jnp.zeros((B, T_mel, n_mels + mel_extra)),
+        jnp.zeros((B, T_mel, n_mels)),
         duration_targets=(None if params_cfg.get("MAS", False)
                           else jnp.full((B, T_in), float(T_mel) / T_in)),
         pitch_targets=jnp.zeros((B, T_mel if params_cfg.get("MAS", False) else T_in)),
