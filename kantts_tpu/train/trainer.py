@@ -244,7 +244,16 @@ class SambertTrainer(Trainer):
                     np.asarray(res["postnet_outputs"])[i, :L])
             if res.get("attn_soft") is not None:
                 plot_alignment(np.asarray(res["attn_soft"])[i, 0],
-                               os.path.join(out_dir, f"{i}_attn.png"))
+                               os.path.join(out_dir, f"{i}_mas_attn.png"))
+            # encoder self-attention maps, first/last layer, head 0
+            # (reference dumps per-layer/head heatmaps, trainer.py:740-798)
+            attns = res.get("enc_slf_attn_lst") or []
+            for li in (0, len(attns) - 1):
+                if 0 <= li < len(attns):
+                    plot_alignment(
+                        np.asarray(attns[li])[i, 0],
+                        os.path.join(out_dir, f"{i}_enc_attn_l{li}.png"),
+                    )
 
     def save_checkpoint(self, path):
         tree = {
