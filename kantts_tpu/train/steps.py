@@ -333,6 +333,33 @@ def make_gan_eval_step(generator, discriminators, criterion, pqmf=None):
             sc, mag = criterion["stft_loss"](yt_, yt)
             metrics["spectral_convergence_loss"] = sc
             metrics["log_stft_magnitude_loss"] = mag
+
+        # adversarial-side eval metrics (reference trainer.py:416-466)
+        adv = fm = real_total = fake_total = 0.0
+        for name, disc in discriminators.items():
+            variables = {"params": state.disc_params[name]}
+            if state.spectral.get(name):
+                variables["spectral"] = state.spectral[name]
+            fake_outs, fake_fmaps = disc.apply(variables, y_full)
+            real_outs, real_fmaps = disc.apply(variables, wav)
+            if "generator_adv_loss" in criterion:
+                adv += criterion["generator_adv_loss"](fake_outs)
+            if "feat_match_loss" in criterion:
+                fm += criterion["feat_match_loss"](fake_fmaps, real_fmaps)
+            if "discriminator_adv_loss" in criterion:
+                real_l, fake_l = criterion["discriminator_adv_loss"](
+                    fake_outs, real_outs
+                )
+                real_total += real_l
+                fake_total += fake_l
+        if "generator_adv_loss" in criterion:
+            metrics["adversarial_loss"] = adv
+        if "feat_match_loss" in criterion:
+            metrics["feature_matching_loss"] = fm
+        if "discriminator_adv_loss" in criterion:
+            metrics["real_loss"] = real_total
+            metrics["fake_loss"] = fake_total
+            metrics["discriminator_loss"] = real_total + fake_total
         return metrics, y_full
 
     return eval_step
