@@ -13,6 +13,7 @@ serve any corpus.
 from __future__ import annotations
 
 import argparse
+import functools
 import logging
 import os
 import sys
@@ -67,9 +68,6 @@ def load_am_checkpoint(ckpt: str, config_path: str | None = None):
     params = payload["model"]
     model = KanTtsSAMBERT(config["Model"]["KanTtsSAMBERT"]["params"])
     return model, {"params": params}, ling_unit, config
-
-
-import functools
 
 
 @functools.lru_cache(maxsize=16)
