@@ -233,7 +233,8 @@ class SambertTrainer(Trainer):
                          if batch.get("attn_priors") is not None else None),
             deterministic=True,
         )
-        n = min(4, batch["mel_targets"].shape[0])
+        n = min(self.config.get("num_save_intermediate_results", 4),
+                batch["mel_targets"].shape[0])
         for i in range(n):
             L = int(batch["valid_output_lengths"][i])
             plot_spectrogram(np.asarray(res["postnet_outputs"])[i, :L],
@@ -327,7 +328,8 @@ class GanTrainer(Trainer):
         out_dir = os.path.join(self.save_dir,
                                f"intermediate_results_{self.steps}")
         os.makedirs(out_dir, exist_ok=True)
-        n = min(4, wav.shape[0])
+        n = min(self.config.get("num_save_intermediate_results", 4),
+                wav.shape[0])
         for i in range(n):
             ref = np.asarray(wav)[i, :, 0]
             gen = np.asarray(y_gen)[i, :, 0]
