@@ -58,6 +58,7 @@ def train(model_config, root_dir, stage_dir, resume_path=None,
         train_dataset, config["batch_size"],
         sampler=DistributedSampler(len(train_dataset), num_replicas,
                                    jax.process_index(), shuffle=True),
+        num_workers=config.get("num_workers", 0),
     )
     valid_loader = DataLoader(
         valid_dataset, config["batch_size"],

@@ -21,7 +21,11 @@ from __future__ import annotations
 import glob
 import math
 import os
+import queue
 import random
+import threading
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
 from functools import lru_cache
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
@@ -745,16 +749,35 @@ class DistributedSampler:
         return self.num_samples
 
 
+class _LoaderError:
+    """Carries a producer-side exception across the prefetch queue."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
+_END = object()
+
+
 class DataLoader:
-    """Minimal batching iterator: sampler -> dataset[i] -> collate_fn.
+    """Batching iterator: sampler -> dataset[i] -> collate_fn.
 
     drop_last=True by default: static batch shapes (TPU-first), matching the
     reference's effective behavior for its large corpora.
+
+    With ``num_workers > 0``, item loads fan out over a thread pool and a
+    coordinator thread keeps up to ``prefetch`` collated batches queued ahead
+    of the consumer — the async analogue of the reference's torch DataLoader
+    worker processes (reference bin/train_sambert.py:124-142). Batches are
+    byte-identical to the synchronous path: items load in parallel, but
+    collate_fn runs on the single coordinator thread in sampler order (so
+    stateful collates, e.g. the vocoder crop RNG, stay deterministic).
     """
 
     def __init__(self, dataset, batch_size: int, sampler: Optional[DistributedSampler] = None,
                  shuffle: bool = True, drop_last: bool = True,
-                 collate_fn=None, seed: int = DATASET_RANDOM_SEED):
+                 collate_fn=None, seed: int = DATASET_RANDOM_SEED,
+                 num_workers: int = 0, prefetch: int = 4):
         self.dataset = dataset
         self.batch_size = batch_size
         self.sampler = sampler or DistributedSampler(
@@ -762,6 +785,8 @@ class DataLoader:
         )
         self.drop_last = drop_last
         self.collate_fn = collate_fn or dataset.collate_fn
+        self.num_workers = num_workers
+        self.prefetch = max(1, prefetch)
 
     def __len__(self):
         n = len(self.sampler)
@@ -769,12 +794,68 @@ class DataLoader:
             n / self.batch_size
         )
 
+    def _batch_indices(self) -> List[List[int]]:
+        indices = list(self.sampler)
+        batches = [indices[i : i + self.batch_size]
+                   for i in range(0, len(indices), self.batch_size)]
+        if batches and self.drop_last and len(batches[-1]) < self.batch_size:
+            batches.pop()
+        return batches
+
     def __iter__(self):
-        batch = []
-        for idx in self.sampler:
-            batch.append(self.dataset[idx])
-            if len(batch) == self.batch_size:
-                yield self.collate_fn(batch)
-                batch = []
-        if batch and not self.drop_last:
-            yield self.collate_fn(batch)
+        if self.num_workers <= 0:
+            for idx_batch in self._batch_indices():
+                yield self.collate_fn([self.dataset[i] for i in idx_batch])
+            return
+        yield from self._prefetch_iter()
+
+    def _prefetch_iter(self):
+        batches = self._batch_indices()
+        out: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                with ThreadPoolExecutor(max_workers=self.num_workers) as ex:
+                    pending: deque = deque()
+                    bi = 0
+                    while (bi < len(batches) or pending) and not stop.is_set():
+                        while bi < len(batches) and len(pending) <= self.prefetch:
+                            pending.append([ex.submit(self.dataset.__getitem__, i)
+                                            for i in batches[bi]])
+                            bi += 1
+                        futs = pending.popleft()
+                        batch = self.collate_fn([f.result() for f in futs])
+                        while not stop.is_set():
+                            try:
+                                out.put(batch, timeout=0.1)
+                                break
+                            except queue.Full:
+                                continue
+                    for futs in pending:  # consumer bailed early
+                        for f in futs:
+                            f.cancel()
+                out.put(_END)
+            except BaseException as e:  # surface on the consumer side
+                out.put(_LoaderError(e))
+
+        thread = threading.Thread(target=producer, daemon=True,
+                                  name="kantts-data-prefetch")
+        thread.start()
+        try:
+            while True:
+                item = out.get()
+                if item is _END:
+                    break
+                if isinstance(item, _LoaderError):
+                    raise item.exc
+                yield item
+        finally:
+            stop.set()
+            # unblock a producer stuck on a full queue
+            try:
+                while True:
+                    out.get_nowait()
+            except queue.Empty:
+                pass
+            thread.join(timeout=5.0)

@@ -124,6 +124,7 @@ def sambert_config(params_delta=None, ling_delta=None, loss_extra=None,
         },
         "batch_size": 32,
         "allow_cache": True,
+        "num_workers": 4,
         "grad_norm": 1.0,
         "train_max_steps": 1000000,
         "save_interval_steps": 20000,
@@ -310,6 +311,7 @@ def hifigan_config(gen_delta=None, mel_loss_delta=None, top_delta=None,
         "batch_size": 16,
         "batch_max_steps": 9600,
         "allow_cache": True,
+        "num_workers": 2,
         "generator_grad_norm": -1,
         "discriminator_grad_norm": -1,
         "generator_train_start_steps": 1,
@@ -408,6 +410,7 @@ SYBERT = {
     "Loss": {"SeqCELoss": {"enable": True, "params": {"loss_type": "ce"}}},
     "batch_size": 32,
     "allow_cache": True,
+    "num_workers": 4,
     "grad_norm": 1.0,
     "train_max_steps": 1000000,
     "save_interval_steps": 20000,
