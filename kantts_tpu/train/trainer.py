@@ -79,6 +79,7 @@ class Trainer:
         self.writer = (SummaryWriter(self.log_dir)
                        if SummaryWriter and is_primary() else None)
         self.rng = jax.random.PRNGKey(config.get("seed", 0))
+        self.eval_rng = np.random.RandomState(config.get("seed", 0))
 
     # ------------------------------------------------------------------ loop
 
@@ -89,7 +90,7 @@ class Trainer:
             self.check_stop_training()
 
     def train_epoch(self):
-        for batch in self.train_loader:
+        for batch in self._lookahead(self.train_loader):
             self.train_step(batch)
             if is_primary():
                 self.check_eval_interval()
@@ -102,6 +103,25 @@ class Trainer:
         logging.info("Epoch %d finished", self.epoch)
         if hasattr(self.train_loader, "sampler"):
             self.train_loader.sampler.set_epoch(self.epoch + 1)
+
+    def _lookahead(self, loader):
+        """One-deep device lookahead: dispatch batch k+1's host->device
+        transfer (async in JAX) before step k runs, so the ICI/PCIe copy
+        overlaps compute. prepare_batch is subclass-defined sharding."""
+        it = iter(loader)
+        try:
+            nxt = self.prepare_batch(next(it))
+        except StopIteration:
+            return
+        for batch in it:
+            cur, nxt = nxt, self.prepare_batch(batch)
+            yield cur
+            if self.finish_training:
+                return
+        yield nxt
+
+    def prepare_batch(self, batch):
+        return batch
 
     def check_stop_training(self):
         if self.steps >= self.max_steps:
@@ -127,7 +147,11 @@ class Trainer:
     def check_log_interval(self):
         if self.steps % self.log_interval == 0:
             for key in list(self.total_train_loss.keys()):
-                self.total_train_loss[key] /= self.log_interval
+                # metrics are lazy device scalars; this float() is the only
+                # host sync in the steady-state train loop
+                self.total_train_loss[key] = (
+                    float(self.total_train_loss[key]) / self.log_interval
+                )
                 logging.info("(Steps: %d) %s = %.4f.", self.steps, key,
                              self.total_train_loss[key])
             self.write_to_tensorboard(self.total_train_loss)
@@ -143,8 +167,11 @@ class Trainer:
                 self.writer.add_scalar(key, float(value), self.steps)
 
     def accumulate(self, store, metrics: Dict[str, Any], prefix: str):
+        """Sum metrics WITHOUT forcing a device->host sync: values stay lazy
+        jax scalars so the train loop never blocks on step k before
+        dispatching step k+1 (float() happens at log time)."""
         for key, value in metrics.items():
-            store[f"{prefix}/{key}"] += float(value)
+            store[f"{prefix}/{key}"] = store[f"{prefix}/{key}"] + value
 
     # ------------------------------------------------------------------ eval
 
@@ -152,13 +179,13 @@ class Trainer:
         logging.info("(Epoch: %d) Start evaluation.", self.epoch)
         self.total_eval_loss = defaultdict(float)
         num_batches = max(1, len(self.valid_loader))
-        rand_idx = np.random.randint(0, num_batches)
+        rand_idx = self.eval_rng.randint(0, num_batches)
         for idx, batch in enumerate(self.valid_loader):
             self.eval_step(batch)
             if idx == rand_idx:
                 self.generate_and_save_intermediate_result(batch)
         for key in list(self.total_eval_loss.keys()):
-            self.total_eval_loss[key] /= num_batches
+            self.total_eval_loss[key] = float(self.total_eval_loss[key]) / num_batches
             logging.info("(Steps: %d) %s = %.4f.", self.steps, key,
                          self.total_eval_loss[key])
         self.write_to_tensorboard(self.total_eval_loss)
@@ -197,10 +224,11 @@ class SambertTrainer(Trainer):
         batch = {k: v for k, v in batch.items() if v is not None}
         return self.maybe_shard(batch)
 
+    prepare_batch = _prep  # train-loop lookahead shards one batch ahead
+
     def train_step(self, batch):
         self.state, metrics = self.train_step_fn(
-            self.state, self._prep(batch), self.next_rng(),
-            jnp.asarray(self.epoch),
+            self.state, batch, self.next_rng(), jnp.asarray(self.epoch),
         )
         self.accumulate(self.total_train_loss, metrics, "train")
 
@@ -210,8 +238,9 @@ class SambertTrainer(Trainer):
         self.accumulate(self.total_eval_loss, metrics, "eval")
 
     def generate_and_save_intermediate_result(self, batch):
-        """Dump target/predicted mels as images + npy (reference
-        trainer.py:718-798, without per-head attention dumps)."""
+        """Dump target/predicted mels as images + npy, plus per-layer/per-head
+        encoder self-attention and PNCA x/h attention heatmaps (reference
+        trainer.py:718-798)."""
         out_dir = os.path.join(self.save_dir,
                                f"intermediate_results_{self.steps}")
         os.makedirs(out_dir, exist_ok=True)
@@ -246,15 +275,42 @@ class SambertTrainer(Trainer):
             if res.get("attn_soft") is not None:
                 plot_alignment(np.asarray(res["attn_soft"])[i, 0],
                                os.path.join(out_dir, f"{i}_mas_attn.png"))
-            # encoder self-attention maps, first/last layer, head 0
-            # (reference dumps per-layer/head heatmaps, trainer.py:740-798)
-            attns = res.get("enc_slf_attn_lst") or []
-            for li in (0, len(attns) - 1):
-                if 0 <= li < len(attns):
-                    plot_alignment(
-                        np.asarray(attns[li])[i, 0],
-                        os.path.join(out_dir, f"{i}_enc_attn_l{li}.png"),
-                    )
+        # per-layer/per-head attention heatmaps for the first item, same
+        # artifact set as the reference (trainer.py:740-798)
+        L0 = int(batch["valid_input_lengths"][0])
+        for li, slf_attn in enumerate(res.get("enc_slf_attn_lst") or []):
+            heads = np.asarray(slf_attn[0])  # (n_head, T_in, T_in)
+            for hi in range(heads.shape[0]):
+                plot_alignment(
+                    heads[hi, :L0, :L0],
+                    os.path.join(out_dir,
+                                 f"enc_slf_attn_dev_layer{li}_head{hi}.png"),
+                    info=f"valid_len_{L0}",
+                )
+        x_bw = res.get("x_band_width")
+        h_bw = res.get("h_band_width")
+        pnca_pairs = zip(res.get("pnca_x_attn_lst") or [],
+                         res.get("pnca_h_attn_lst") or [])
+        for li, (x_attn, h_attn) in enumerate(pnca_pairs):
+            for hi in range(np.asarray(x_attn).shape[1]):
+                plot_alignment(
+                    np.asarray(x_attn)[0, hi],
+                    os.path.join(out_dir,
+                                 f"pnca_x_attn_dev_layer{li}_head{hi}.png"),
+                    info=f"x_band_width_{int(x_bw)}" if x_bw is not None else None,
+                )
+                plot_alignment(
+                    np.asarray(h_attn)[0, hi],
+                    os.path.join(out_dir,
+                                 f"pnca_h_attn_dev_layer{li}_head{hi}.png"),
+                    info=f"h_band_width_{int(h_bw)}" if h_bw is not None else None,
+                )
+        # coarse/output/target mel npy triplet (reference trainer.py:789-795)
+        L0_mel = int(batch["valid_output_lengths"][0])
+        np.save(os.path.join(out_dir, "coarse_mel.npy"),
+                np.asarray(res["dec_outputs"])[0, :L0_mel])
+        np.save(os.path.join(out_dir, "target_mel.npy"),
+                np.asarray(batch["mel_targets"])[0, :L0_mel])
 
     def save_checkpoint(self, path):
         tree = {
@@ -306,9 +362,12 @@ class GanTrainer(Trainer):
             self._step_cache[key] = self.make_step_fn(train_gen, include_adv)
         return self._step_cache[key]
 
+    def prepare_batch(self, batch):
+        wav, mel = batch
+        return self.maybe_shard(wav), self.maybe_shard(mel)
+
     def train_step(self, batch):
         wav, mel = batch
-        wav, mel = self.maybe_shard(wav), self.maybe_shard(mel)
         self.state, metrics = self._step_fn()(self.state, wav, mel,
                                               self.next_rng())
         self.accumulate(self.total_train_loss, metrics, "train")
@@ -399,9 +458,12 @@ class TextsyBertTrainer(Trainer):
         self.train_step_fn = train_step_fn
         self.eval_step_fn = eval_step_fn
 
+    def prepare_batch(self, batch):
+        return self.maybe_shard(dict(batch))
+
     def train_step(self, batch):
         self.state, metrics = self.train_step_fn(
-            self.state, self.maybe_shard(dict(batch)), self.next_rng()
+            self.state, batch, self.next_rng()
         )
         self.accumulate(self.total_train_loss, metrics, "train")
 
