@@ -33,8 +33,16 @@ def distributed_init(coordinator_address: Optional[str] = None,
                      num_processes: Optional[int] = None,
                      process_id: Optional[int] = None) -> None:
     """Multi-host rendezvous (the `init_process_group(env://)` analogue,
-    reference trainer.py:25-52). No-op for single-process runs."""
+    reference trainer.py:25-52). No-op for single-process runs.
+
+    On the CPU platform (multi-process simulation / tests), cross-process
+    collectives need the gloo transport; select it before the backend exists.
+    """
     if num_processes is not None and num_processes > 1:
+        import os
+
+        if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
         jax.distributed.initialize(coordinator_address, num_processes, process_id)
 
 
@@ -57,13 +65,26 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
-    """device_put every array in the batch with batch-axis sharding."""
+    """Put every array in the batch with batch-axis sharding.
+
+    Single-process: a plain device_put scatter. Multi-process: each host's
+    loader yields a DIFFERENT local batch (DistributedSampler shards
+    indices), so the local arrays are per-process SHARDS of a global batch —
+    assemble them with make_array_from_process_local_data (the torch-DDP
+    per-rank-batch analogue; reference bin/train_sambert.py:108-122)."""
     sharding = data_sharding(mesh)
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sharding) if hasattr(x, "shape") and x.ndim
-        else x,
-        batch,
-    )
+    if jax.process_count() > 1:
+        def put(x):
+            if not (hasattr(x, "shape") and x.ndim):
+                return x
+            return jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            )
+    else:
+        def put(x):
+            return (jax.device_put(x, sharding)
+                    if hasattr(x, "shape") and x.ndim else x)
+    return jax.tree_util.tree_map(put, batch)
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:
