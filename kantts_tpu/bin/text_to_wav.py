@@ -3,12 +3,14 @@ silence-gapped concatenation.
 
 CLI parity: /root/reference/kantts/bin/text_to_wav.py:30-117. The reference's
 raw-text front-end is the closed-source ``ttsfrd`` binary wheel
-(utils/ling_unit/__init__.py:20-40) which cannot be ported; this build exposes
-a PLUGGABLE front-end boundary instead:
-- ``--symbols_file``: precomputed symbol sequences (the metafile format), or
+(utils/ling_unit/__init__.py:20-40) which cannot be ported; this build
+covers raw text with a layered front-end boundary:
+- default: the in-tree pinyin front-end (text/pinyin_frontend.py) —
+  tone-numbered pinyin lines synthesize with no plugin;
 - ``--frontend``: a python module path exposing
   ``text_to_symbols(texts: list[str], speaker: str, lang: str) -> list[str]``
-  (ttsfrd users can wrap their engine behind this hook).
+  (ttsfrd users can wrap their engine behind this hook, e.g. for hanzi);
+- ``--symbols_file``: precomputed symbol sequences (the metafile format).
 
 Sentence wavs are joined with 0.28 s inter-sentence silence and a 0.05 s tail
 (reference text_to_wav.py:30-70).
@@ -82,12 +84,14 @@ def text_to_wav(output_dir, am_ckpt, voc_ckpt, text_file=None,
         symbols_path = symbols_file
     else:
         if frontend is None:
-            raise ValueError(
-                "Raw-text input needs a front-end plugin (--frontend module "
-                "exposing text_to_symbols); the reference's ttsfrd engine is "
-                "closed-source and not portable. Alternatively pass "
-                "--symbols_file with precomputed symbol sequences."
-            )
+            # in-tree raw-text path: tone-numbered pinyin with default
+            # prosody (see text/pinyin_frontend.py). Hanzi input still needs
+            # an external g2p plugin (the reference's ttsfrd engine is
+            # closed-source and not portable) via --frontend, or precomputed
+            # --symbols_file sequences.
+            frontend = "kantts_tpu.text.pinyin_frontend"
+            logging.info("Using the in-tree pinyin front-end (tone-numbered "
+                         "pinyin input); pass --frontend for a custom g2p.")
         fe = importlib.import_module(frontend)
         with open(text_file, encoding="utf-8") as f:
             texts = [line.strip() for line in f if line.strip()]
