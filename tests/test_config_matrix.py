@@ -11,6 +11,8 @@ import yaml
 from kantts_tpu.models.builder import model_builder
 from kantts_tpu.text.ling_unit import KanTtsLinguisticUnit
 
+pytestmark = pytest.mark.slow
+
 CONFIG_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "kantts_tpu", "configs")
 

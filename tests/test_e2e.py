@@ -15,6 +15,8 @@ import yaml
 from kantts_tpu.dsp.mel import MelSpectrogramExtractor
 from kantts_tpu.utils.audio import save_wav
 
+pytestmark = pytest.mark.slow
+
 SR = 16000
 HOP = 200
 N_SYM = 8
@@ -261,6 +263,65 @@ def test_full_text_to_wav(trained_sambert, trained_hifigan, tmp_path):
     assert sr == SR
     assert len(wav) > SR * 0.3  # non-trivial audio came out
     assert np.isfinite(wav).all()
+
+
+def test_text_to_wav_raw_pinyin(trained_sambert, trained_hifigan, tmp_path):
+    """Raw tone-numbered pinyin through the in-tree front-end — no plugin,
+    no symbols file (the ttsfrd-capability replacement)."""
+    from kantts_tpu.bin.text_to_wav import text_to_wav
+
+    _, am_ckpt = trained_sambert
+    _, voc_ckpt = trained_hifigan
+
+    txt = tmp_path / "input.txt"
+    txt.write_text("ni3 hao3。 shi4jie4\n")
+    out_dir = tmp_path / "tts_raw_out"
+    text_to_wav(str(out_dir), am_ckpt, voc_ckpt, text_file=str(txt))
+
+    res = glob.glob(str(out_dir / "res_wavs" / "*.wav"))
+    assert len(res) == 1  # both sub-sentences concatenated into one group
+    from kantts_tpu.utils.audio import read_wav
+
+    sr, wav = read_wav(res[0])
+    assert sr == SR and np.isfinite(wav).all() and len(wav) > 0
+
+
+def test_stream_tts(trained_sambert, trained_hifigan, tmp_path):
+    """Streaming pipeline: chunks are sample-exact vs whole-utterance
+    synthesis, first-chunk latency is reported."""
+    from kantts_tpu.bin.stream_tts import StreamingTTS, stream_tts
+
+    _, am_ckpt = trained_sambert
+    _, voc_ckpt = trained_hifigan
+
+    txt = tmp_path / "input.txt"
+    txt.write_text("ni3 hao3\n")
+    out_dir = tmp_path / "stream_out"
+    report = stream_tts(str(out_dir), am_ckpt, voc_ckpt, text_file=str(txt),
+                        chunk_seconds=0.1)
+    assert len(report) == 1
+    assert report[0]["first_chunk_latency_s"] > 0
+    assert os.path.exists(out_dir / "0_0.wav")
+
+    # exactness: streamed chunks == one-shot synthesis of the same mel
+    import jax
+    import jax.numpy as jnp
+
+    from kantts_tpu.bin.infer_sambert import am_synthesis
+    from kantts_tpu.infer.streaming import stream_synthesis
+
+    tts = StreamingTTS(am_ckpt, voc_ckpt)
+    _, mel, _, _, _ = am_synthesis(make_symbols(), tts.am_model,
+                                   tts.am_variables, tts.ling_unit)
+    chunks = np.concatenate(list(
+        stream_synthesis(tts.voc_model, tts.voc_variables, mel,
+                         chunk_frames=8)
+    ))
+    full = np.asarray(tts.voc_model.apply(
+        tts.voc_variables, jnp.asarray(mel[None]),
+        rngs={"noise": jax.random.PRNGKey(0)},
+    ))[0]
+    np.testing.assert_allclose(chunks, full, atol=2e-5)
 
 
 def test_hifigan_resume_weights_only(trained_hifigan, corpus, tmp_path):

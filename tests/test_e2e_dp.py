@@ -2,9 +2,13 @@
 CPU mesh (params replicated, batches sharded) — catches sharding issues in
 the trainer/loader glue that unit tests miss."""
 
+import pytest
+
 import glob
 
 import yaml
+
+pytestmark = pytest.mark.slow
 
 from tests.test_e2e import HIFIGAN_TINY, SAMBERT_TINY, corpus  # noqa: F401
 

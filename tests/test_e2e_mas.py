@@ -9,6 +9,8 @@ import yaml
 
 from kantts_tpu.dsp.mel import MelSpectrogramExtractor
 from kantts_tpu.utils.audio import save_wav
+
+pytestmark = pytest.mark.slow
 from tests.test_e2e import SAMBERT_TINY, SR, make_symbols
 
 HOP = 200

@@ -10,6 +10,8 @@ import yaml
 from kantts_tpu.data.dataset import AMDataset
 from kantts_tpu.dsp.mel import MelSpectrogramExtractor
 from kantts_tpu.utils.audio import save_wav
+
+pytestmark = pytest.mark.slow
 from tests.test_e2e import SAMBERT_TINY, SR
 
 HOP = 200

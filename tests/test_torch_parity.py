@@ -16,6 +16,8 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.slow
+
 
 def _install_stubs():
     if "numba" not in sys.modules:
