@@ -120,6 +120,9 @@ def sambert_model_builder(config: Dict[str, Any], seed: int = 0
                           ) -> Dict[str, Any]:
     """Build KanTtsSAMBERT + optimizer (reference models/__init__.py:90-123)."""
     params_cfg = dict(config["Model"]["KanTtsSAMBERT"]["params"])
+    if config.get("mixed_precision", False):
+        # bf16 transformer compute, f32 params/LN/softmax/output heads
+        params_cfg.setdefault("compute_dtype", "bfloat16")
     model = KanTtsSAMBERT(params_cfg)
     r = params_cfg["outputs_per_step"]
     # NSF configs already include the f0/uv channels in num_mels (e.g. 82)

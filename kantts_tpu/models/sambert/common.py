@@ -28,23 +28,29 @@ def _torch_linear_kernel_init(key, shape, dtype=jnp.float32):
     return jax.random.uniform(key, shape, dtype, -bound, bound)
 
 
-def torch_linear(features: int, use_bias: bool = True, name: str | None = None) -> nn.Dense:
+def torch_linear(features: int, use_bias: bool = True, name: str | None = None,
+                 dtype=None) -> nn.Dense:
+    """dtype: compute dtype (params stay f32 via param_dtype default);
+    None = full f32, jnp.bfloat16 = mixed-precision matmuls on the MXU."""
     return nn.Dense(
         features,
         use_bias=use_bias,
         kernel_init=_torch_linear_kernel_init,
         bias_init=nn.initializers.zeros,
+        dtype=dtype,
         name=name,
     )
 
 
-def conv1d_same(features: int, kernel_size: int, name: str | None = None) -> nn.Conv:
+def conv1d_same(features: int, kernel_size: int, name: str | None = None,
+                dtype=None) -> nn.Conv:
     """1-D conv over (B, T, C) with torch-style 'same' padding (k odd)."""
     return nn.Conv(
         features,
         (kernel_size,),
         padding=[((kernel_size - 1) // 2, (kernel_size - 1) // 2)],
         kernel_init=_torch_linear_kernel_init_conv,
+        dtype=dtype,
         name=name,
     )
 
@@ -83,15 +89,17 @@ def scaled_dot_attention(
     deterministic: bool = True,
     dropout_rng=None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """q,k,v: (B, H, T, d); mask: (B, 1|H, Tq, Tk) True = disallowed."""
-    attn = jnp.einsum("bhqd,bhkd->bhqk", q, k) / temperature
+    """q,k,v: (B, H, T, d); mask: (B, 1|H, Tq, Tk) True = disallowed.
+    Softmax always runs in f32 (mixed-precision safe); the attention-weighted
+    sum runs in v's dtype."""
+    attn = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) / temperature
     if mask is not None:
         attn = jnp.where(mask, NEG_INF, attn)
     attn = jax.nn.softmax(attn, axis=-1)
     if dropatt > 0.0 and not deterministic:
         keep = jax.random.bernoulli(dropout_rng, 1.0 - dropatt, attn.shape)
         attn = attn * keep / (1.0 - dropatt)
-    out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+    out = jnp.einsum("bhqk,bhkd->bhqd", attn.astype(v.dtype), v)
     return out, attn
 
 
@@ -104,6 +112,7 @@ class MultiHeadSelfAttention(nn.Module):
     d_head: int
     dropout: float = 0.1
     dropatt: float = 0.0
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(
@@ -114,8 +123,9 @@ class MultiHeadSelfAttention(nn.Module):
     ):
         B, T, d_in = x.shape
         residual = x
-        h = nn.LayerNorm(epsilon=1e-6, name="layer_norm")(x)
-        qkv = torch_linear(3 * self.n_head * self.d_head, name="w_qkv")(h)
+        h = nn.LayerNorm(epsilon=1e-6, name="layer_norm")(x)  # LN stays f32
+        qkv = torch_linear(3 * self.n_head * self.d_head, name="w_qkv",
+                           dtype=self.dtype)(h)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def heads(t):
@@ -128,10 +138,10 @@ class MultiHeadSelfAttention(nn.Module):
             self.make_rng("dropout") if (self.dropatt > 0 and not deterministic) else None,
         )
         out = out.transpose(0, 2, 1, 3).reshape(B, T, self.n_head * self.d_head)
-        out = torch_linear(self.d_model, name="fc")(out)
+        out = torch_linear(self.d_model, name="fc", dtype=self.dtype)(out)
         out = nn.Dropout(self.dropout, deterministic=deterministic)(out)
         if out.shape[-1] == residual.shape[-1]:
-            out = out + residual
+            out = (out + residual).astype(residual.dtype)
         return out, attn
 
 
@@ -144,6 +154,7 @@ class PositionwiseConvFeedForward(nn.Module):
     kernel_sizes: Sequence[int] = (3, 1)
     dropout_inner: float = 0.1
     dropout: float = 0.1
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(
@@ -153,15 +164,17 @@ class PositionwiseConvFeedForward(nn.Module):
         deterministic: bool = True,
     ) -> jnp.ndarray:
         residual = x
-        h = nn.LayerNorm(epsilon=1e-6, name="layer_norm")(x)
-        h = conv1d_same(self.d_inner, self.kernel_sizes[0], name="w_1")(h)
+        h = nn.LayerNorm(epsilon=1e-6, name="layer_norm")(x)  # LN stays f32
+        h = conv1d_same(self.d_inner, self.kernel_sizes[0], name="w_1",
+                        dtype=self.dtype)(h)
         h = jax.nn.relu(h)
         if mask is not None:
-            h = jnp.where(mask[..., None], 0.0, h)
+            h = jnp.where(mask[..., None], 0.0, h).astype(h.dtype)
         h = nn.Dropout(self.dropout_inner, deterministic=deterministic)(h)
-        h = conv1d_same(self.d_model, self.kernel_sizes[1], name="w_2")(h)
+        h = conv1d_same(self.d_model, self.kernel_sizes[1], name="w_2",
+                        dtype=self.dtype)(h)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        return h + residual
+        return (h + residual).astype(residual.dtype)
 
 
 class FFTBlock(nn.Module):
@@ -175,6 +188,7 @@ class FFTBlock(nn.Module):
     dropout: float = 0.1
     dropout_attn: float = 0.0
     dropout_relu: float = 0.0
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(
@@ -186,13 +200,13 @@ class FFTBlock(nn.Module):
     ):
         out, attn = MultiHeadSelfAttention(
             self.n_head, self.d_model, self.d_head, self.dropout,
-            self.dropout_attn, name="slf_attn",
+            self.dropout_attn, dtype=self.dtype, name="slf_attn",
         )(x, slf_attn_mask, deterministic)
         if mask is not None:
             out = jnp.where(mask[..., None], 0.0, out)
         out = PositionwiseConvFeedForward(
             self.d_model, self.d_inner, self.kernel_sizes,
-            self.dropout_relu, self.dropout, name="pos_ffn",
+            self.dropout_relu, self.dropout, dtype=self.dtype, name="pos_ffn",
         )(out, mask, deterministic)
         if mask is not None:
             out = jnp.where(mask[..., None], 0.0, out)

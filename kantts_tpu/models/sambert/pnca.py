@@ -69,13 +69,16 @@ class MultiHeadPNCAAttention(nn.Module):
     d_head: int
     dropout: float = 0.1
     dropatt: float = 0.0
+    dtype: Optional[jnp.dtype] = None
 
     def setup(self):
-        self.layer_norm = nn.LayerNorm(epsilon=1e-6)
-        self.w_x_qkv = torch_linear(3 * self.n_head * self.d_head, name="w_x_qkv")
-        self.fc_x = torch_linear(self.d_model, name="fc_x")
-        self.w_h_kv = torch_linear(2 * self.n_head * self.d_head, name="w_h_kv")
-        self.fc_h = torch_linear(self.d_model, name="fc_h")
+        self.layer_norm = nn.LayerNorm(epsilon=1e-6)  # LN stays f32
+        self.w_x_qkv = torch_linear(3 * self.n_head * self.d_head,
+                                    name="w_x_qkv", dtype=self.dtype)
+        self.fc_x = torch_linear(self.d_model, name="fc_x", dtype=self.dtype)
+        self.w_h_kv = torch_linear(2 * self.n_head * self.d_head,
+                                   name="w_h_kv", dtype=self.dtype)
+        self.fc_h = torch_linear(self.d_model, name="fc_h", dtype=self.dtype)
         self.drop = nn.Dropout(self.dropout)
 
     def _split_heads(self, t: jnp.ndarray) -> jnp.ndarray:
@@ -93,8 +96,9 @@ class MultiHeadPNCAAttention(nn.Module):
         return self._split_heads(h_k), self._split_heads(h_v)
 
     def _attend(self, q, k, v, mask, deterministic):
+        # softmax in f32 (mixed-precision safe); weighted sum in v's dtype
         temp = float(np.sqrt(self.d_head))
-        attn = jnp.einsum("bhqd,bhkd->bhqk", q, k) / temp
+        attn = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) / temp
         if mask is not None:
             attn = jnp.where(mask, NEG_INF, attn)
         attn = jax.nn.softmax(attn, axis=-1)
@@ -103,7 +107,7 @@ class MultiHeadPNCAAttention(nn.Module):
                 self.make_rng("dropout"), 1.0 - self.dropatt, attn.shape
             )
             attn = attn * keep / (1.0 - self.dropatt)
-        return jnp.einsum("bhqk,bhkd->bhqd", attn, v), attn
+        return jnp.einsum("bhqk,bhkd->bhqd", attn.astype(v.dtype), v), attn
 
     def __call__(
         self,
@@ -129,7 +133,7 @@ class MultiHeadPNCAAttention(nn.Module):
 
         out = self.fc_x(self._merge_heads(out_x)) + self.fc_h(self._merge_heads(out_h))
         out = self.drop(out, deterministic=deterministic)
-        return out + residual, attn_x, attn_h
+        return (out + residual).astype(residual.dtype), attn_x, attn_h
 
     def step(
         self,
@@ -152,8 +156,10 @@ class MultiHeadPNCAAttention(nn.Module):
         x_q, x_k, x_v = jnp.split(qkv, 3, axis=-1)
         x_q, x_k, x_v = map(self._split_heads, (x_q, x_k, x_v))  # (B,H,1,dh)
 
-        cache_k = jax.lax.dynamic_update_slice_in_dim(cache_k, x_k, t, axis=2)
-        cache_v = jax.lax.dynamic_update_slice_in_dim(cache_v, x_v, t, axis=2)
+        cache_k = jax.lax.dynamic_update_slice_in_dim(
+            cache_k, x_k.astype(cache_k.dtype), t, axis=2)
+        cache_v = jax.lax.dynamic_update_slice_in_dim(
+            cache_v, x_v.astype(cache_v.dtype), t, axis=2)
 
         T = cache_k.shape[2]
         j = jnp.arange(T)[None, None, None, :]
@@ -166,7 +172,8 @@ class MultiHeadPNCAAttention(nn.Module):
         out_h, attn_h = self._attend(x_q, h_k, h_v, h_mask, deterministic)
         out = self.fc_x(self._merge_heads(out_x)) + self.fc_h(self._merge_heads(out_h))
         out = self.drop(out, deterministic=deterministic)
-        return out + residual, cache_k, cache_v, attn_x, attn_h
+        return ((out + residual).astype(residual.dtype), cache_k, cache_v,
+                attn_x, attn_h)
 
 
 class PNCABlock(nn.Module):
@@ -182,15 +189,16 @@ class PNCABlock(nn.Module):
     dropout: float = 0.1
     dropout_attn: float = 0.0
     dropout_relu: float = 0.0
+    dtype: Optional[jnp.dtype] = None
 
     def setup(self):
         self.pnca_attn = MultiHeadPNCAAttention(
             self.n_head, self.d_model, self.d_mem, self.d_head,
-            self.dropout, self.dropout_attn,
+            self.dropout, self.dropout_attn, dtype=self.dtype,
         )
         self.pos_ffn = PositionwiseConvFeedForward(
             self.d_model, self.d_inner, self.kernel_sizes,
-            self.dropout_relu, self.dropout,
+            self.dropout_relu, self.dropout, dtype=self.dtype,
         )
 
     def __call__(self, x, memory, mask=None, x_attn_mask=None, h_attn_mask=None,
@@ -234,20 +242,21 @@ class HybridAttentionDecoder(nn.Module):
     dropout: float = 0.1
     dropout_attn: float = 0.0
     dropout_relu: float = 0.0
+    dtype: Optional[jnp.dtype] = None
 
     def setup(self):
         self.prenet = Prenet(tuple(self.prenet_units), self.d_model)
-        self.dec_in_proj = torch_linear(self.d_model)
+        self.dec_in_proj = torch_linear(self.d_model, dtype=self.dtype)
         self.pnca = [
             PNCABlock(
                 self.d_model, self.d_mem, self.n_head, self.d_head, self.d_inner,
                 (1, 1), self.dropout, self.dropout_attn, self.dropout_relu,
-                name=f"pnca_{i}",
+                dtype=self.dtype, name=f"pnca_{i}",
             )
             for i in range(self.n_layer)
         ]
-        self.ln = nn.LayerNorm(epsilon=1e-6)
-        self.dec_out_proj = torch_linear(self.d_out)
+        self.ln = nn.LayerNorm(epsilon=1e-6)  # final LN in f32
+        self.dec_out_proj = torch_linear(self.d_out)  # output head in f32
         self.drop = nn.Dropout(self.dropout)
 
     def __call__(
@@ -336,6 +345,7 @@ class MelPNCADecoder(nn.Module):
     dropout: float = 0.1
     dropout_attn: float = 0.0
     dropout_relu: float = 0.0
+    dtype: Optional[jnp.dtype] = None
 
     def setup(self):
         self.mel_dec = HybridAttentionDecoder(
@@ -351,6 +361,7 @@ class MelPNCADecoder(nn.Module):
             dropout=self.dropout,
             dropout_attn=self.dropout_attn,
             dropout_relu=self.dropout_relu,
+            dtype=self.dtype,
         )
 
     def __call__(

@@ -52,6 +52,15 @@ def _embed(num: int, dim: int, name: str) -> nn.Embed:
     return nn.Embed(num, dim, embedding_init=nn.initializers.normal(1.0), name=name)
 
 
+def compute_dtype(cfg: Dict[str, Any]):
+    """Mixed-precision compute dtype for the transformer stacks (params and
+    LN/softmax stay f32); set ``compute_dtype: bfloat16`` in the model params
+    (or ``mixed_precision: true`` at the config top level)."""
+    name = cfg.get("compute_dtype")
+    return {None: None, "float32": None,
+            "bfloat16": jnp.bfloat16}[name]
+
+
 class SelfAttentionEncoder(nn.Module):
     """N FFT blocks with sinusoidal positions and a final LN
     (reference kantts_sambert.py:22-87)."""
@@ -65,6 +74,7 @@ class SelfAttentionEncoder(nn.Module):
     dropout_att: float
     dropout_relu: float
     max_len: int
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, mask=None, deterministic: bool = True,
@@ -84,11 +94,11 @@ class SelfAttentionEncoder(nn.Module):
             h, attn = FFTBlock(
                 self.d_model, self.n_head, self.d_head, self.d_inner, (3, 1),
                 self.dropout, self.dropout_att, self.dropout_relu,
-                name=f"fft_{i}",
+                dtype=self.dtype, name=f"fft_{i}",
             )(h, mask, slf_attn_mask, deterministic)
             if return_attns:
                 attns.append(attn)
-        h = nn.LayerNorm(epsilon=1e-6, name="ln")(h)
+        h = nn.LayerNorm(epsilon=1e-6, name="ln")(h.astype(jnp.float32))
         return h, attns
 
 
@@ -129,6 +139,7 @@ class TextFftEncoder(nn.Module):
             dropout_att=cfg["encoder_attention_dropout"],
             dropout_relu=cfg["encoder_relu_dropout"],
             max_len=cfg["max_len"],
+            dtype=compute_dtype(cfg),
             name="ling_enc",
         )(ling_embedding, masks, deterministic, return_attns)
 
@@ -214,6 +225,7 @@ def make_mel_decoder(cfg: Dict[str, Any]) -> MelPNCADecoder:
         dropout=cfg["decoder_dropout"],
         dropout_attn=cfg["decoder_attention_dropout"],
         dropout_relu=cfg["decoder_relu_dropout"],
+        dtype=compute_dtype(cfg),
     )
 
 
