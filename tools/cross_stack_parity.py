@@ -1,0 +1,272 @@
+"""Cross-stack quality parity: train the torch REFERENCE implementation and
+kantts_tpu on the SAME synthetic corpus from IDENTICAL initial weights
+(shared via utils/torch_convert), with the same optimizer and loss, then
+compare mel-loss trajectories and inter-stack MCD — the quality half of the
+BASELINE.json metric ("MCD and mel-loss parity vs the PyTorch reference").
+
+Training semantics matched: /root/reference/kantts/train/trainer.py:898-1005
+(one Adam, total = mel(dec)+mel(postnet)+dur+pitch+energy, grad-norm clip).
+
+Run (CPU): JAX_PLATFORMS=cpu python tools/cross_stack_parity.py [steps]
+Writes cross_stack_parity.json next to this file and prints a markdown table.
+"""
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import numpy as np
+
+from tests.test_torch_parity import TINY_CFG, _install_stubs
+
+def _argv_steps(default=300):
+    try:
+        return int(sys.argv[1])
+    except (IndexError, ValueError):  # imported as a module (e.g. by tests)
+        return default
+
+
+N_STEPS = _argv_steps()
+LOG_EVERY = max(1, N_STEPS // 15)
+B, T_IN, T_MEL = 8, 10, 24
+NUM_MELS = TINY_CFG["num_mels"]
+LR = 1e-3
+
+
+def make_corpus():
+    """Deterministic structured mel targets (smooth per-utterance patterns,
+    so MCD is meaningful) + durations/pitch/energy."""
+    rng = np.random.RandomState(0)
+    t = np.arange(T_MEL)[:, None] / T_MEL
+    m = np.arange(NUM_MELS)[None, :] / NUM_MELS
+    mels = np.stack([
+        np.sin(2 * np.pi * (1 + i % 3) * t + 2 * np.pi * m * (1 + i % 4))
+        + 0.1 * rng.randn(T_MEL, NUM_MELS)
+        for i in range(B)
+    ]).astype(np.float32)
+    dur = np.full((B, T_IN), T_MEL // T_IN, dtype=np.int64)
+    dur[:, -1] += T_MEL - dur[0].sum()
+    return {
+        "input_lings": rng.randint(0, 5, (B, T_IN, 4)).astype(np.int64),
+        "input_emotions": rng.randint(0, 4, (B, T_IN)).astype(np.int64),
+        "input_speakers": rng.randint(0, 2, (B, T_IN)).astype(np.int64),
+        "valid_input_lengths": np.asarray([T_IN] * B, dtype=np.int64),
+        "valid_output_lengths": np.asarray([T_MEL] * B, dtype=np.int64),
+        "mel_targets": mels,
+        "durations": dur,
+        "pitch_contours": np.abs(rng.randn(B, T_IN)).astype(np.float32),
+        "energy_contours": np.abs(rng.randn(B, T_IN)).astype(np.float32),
+    }
+
+
+def train_torch(batch, n_steps):
+    import torch
+    from kantts.models.sambert.kantts_sambert import KanTtsSAMBERT as TorchSambert
+    from kantts.train.loss import MelReconLoss, ProsodyReconLoss
+
+    torch.manual_seed(0)
+    model = TorchSambert(TINY_CFG)
+    sd0 = {k: v.detach().numpy().copy() for k, v in model.state_dict().items()}
+    model.train()
+    opt = torch.optim.Adam(model.parameters(), lr=LR, betas=(0.9, 0.98),
+                           eps=1e-9)
+    mel_crit, pros_crit = MelReconLoss("mae"), ProsodyReconLoss("mae")
+
+    tb = {k: torch.from_numpy(v) for k, v in batch.items()}
+    traj = {}
+    for step in range(1, n_steps + 1):
+        opt.zero_grad()
+        res = model(
+            tb["input_lings"], tb["input_emotions"], tb["input_speakers"],
+            tb["valid_input_lengths"],
+            output_lengths=tb["valid_output_lengths"],
+            mel_targets=tb["mel_targets"],
+            duration_targets=tb["durations"],
+            pitch_targets=tb["pitch_contours"],
+            energy_targets=tb["energy_contours"],
+        )
+        mel_loss_, mel_loss = mel_crit(tb["valid_output_lengths"],
+                                       tb["mel_targets"], res["dec_outputs"],
+                                       res["postnet_outputs"])
+        dur_l, pitch_l, energy_l = pros_crit(
+            res["valid_inter_lengths"], res["duration_targets"],
+            res["pitch_targets"], res["energy_targets"],
+            res["log_duration_predictions"], res["pitch_predictions"],
+            res["energy_predictions"],
+        )
+        total = mel_loss_ + mel_loss + dur_l + pitch_l + energy_l
+        total.backward()
+        torch.nn.utils.clip_grad_norm_(model.parameters(), 1.0)
+        opt.step()
+        if step % LOG_EVERY == 0 or step == 1:
+            traj[step] = {"TotalLoss": float(total),
+                          "mel_loss": float(mel_loss),
+                          "dur_loss": float(dur_l)}
+
+    model.eval()
+    with torch.no_grad():
+        res = model(
+            tb["input_lings"], tb["input_emotions"], tb["input_speakers"],
+            tb["valid_input_lengths"],
+            output_lengths=tb["valid_output_lengths"],
+            mel_targets=tb["mel_targets"],
+            duration_targets=tb["durations"],
+            pitch_targets=tb["pitch_contours"],
+            energy_targets=tb["energy_contours"],
+        )
+        post_tf = res["postnet_outputs"].numpy()
+        try:
+            infer = model(tb["input_lings"], tb["input_emotions"],
+                          tb["input_speakers"], tb["valid_input_lengths"])
+            post_free = infer["postnet_outputs"].numpy()
+        except ValueError:  # degenerate (near-zero) predicted durations
+            post_free = None
+    return sd0, traj, post_tf, post_free
+
+
+def train_jax(batch, sd0, n_steps):
+    import jax
+    import jax.numpy as jnp
+
+    from kantts_tpu.losses import criterion_builder
+    from kantts_tpu.models.sambert.sambert import KanTtsSAMBERT, sambert_infer
+    from kantts_tpu.train.optim import optimizer_builder
+    from kantts_tpu.train.states import TrainState
+    from kantts_tpu.train.steps import make_sambert_step
+    from kantts_tpu.utils.torch_convert import convert_sambert
+
+    model = KanTtsSAMBERT(TINY_CFG)
+    params = convert_sambert(sd0, TINY_CFG)
+    crit = criterion_builder({
+        "Loss": {"MelReconLoss": {"enable": True, "params": {"loss_type": "mae"}},
+                 "ProsodyReconLoss": {"enable": True, "params": {"loss_type": "mae"}}}
+    })
+    tx, _ = optimizer_builder(
+        {"type": "Adam", "params": {"lr": LR, "betas": [0.9, 0.98], "eps": 1e-9}},
+        None, grad_norm=1.0,
+    )
+    jb = {
+        "input_lings": jnp.asarray(batch["input_lings"], dtype=jnp.int32),
+        "input_emotions": jnp.asarray(batch["input_emotions"], dtype=jnp.int32),
+        "input_speakers": jnp.asarray(batch["input_speakers"], dtype=jnp.int32),
+        "valid_input_lengths": jnp.asarray(batch["valid_input_lengths"]),
+        "valid_output_lengths": jnp.asarray(batch["valid_output_lengths"]),
+        "mel_targets": jnp.asarray(batch["mel_targets"]),
+        "durations": jnp.asarray(batch["durations"].astype(np.float32)),
+        "pitch_contours": jnp.asarray(batch["pitch_contours"]),
+        "energy_contours": jnp.asarray(batch["energy_contours"]),
+    }
+    state = TrainState(params, tx.init(params), jnp.asarray(0, dtype=jnp.int32))
+    step_fn = make_sambert_step(model, crit, tx, with_mas=False,
+                                fp_enable=False)
+    traj = {}
+    for step in range(1, n_steps + 1):
+        state, metrics = step_fn(state, jb, jax.random.PRNGKey(step),
+                                 jnp.asarray(0))
+        if step % LOG_EVERY == 0 or step == 1:
+            total = sum(float(metrics[k]) for k in
+                        ("mel_loss_", "mel_loss", "dur_loss", "pitch_loss",
+                         "energy_loss"))
+            traj[step] = {"TotalLoss": total,
+                          "mel_loss": float(metrics["mel_loss"]),
+                          "dur_loss": float(metrics["dur_loss"])}
+
+    variables = {"params": state.params}
+    res = model.apply(
+        variables, jb["input_lings"], jb["input_emotions"],
+        jb["input_speakers"], jb["valid_input_lengths"],
+        jb["valid_output_lengths"], jb["mel_targets"],
+        duration_targets=jb["durations"], pitch_targets=jb["pitch_contours"],
+        energy_targets=jb["energy_contours"], deterministic=True,
+    )
+    post_tf = np.asarray(res["postnet_outputs"])
+    infer = jax.jit(lambda v, l, e, s, ln: sambert_infer(
+        model, v, l, e, s, ln, max_output_len=T_MEL * 4))(
+        variables, jb["input_lings"], jb["input_emotions"],
+        jb["input_speakers"], jb["valid_input_lengths"])
+    post_free = np.asarray(infer["postnet_outputs"])
+    free_len = np.asarray(infer["LR_length_rounded"]).astype(int)
+    return traj, post_tf, post_free, free_len
+
+
+def main():
+    _install_stubs()
+    from kantts_tpu.utils.metrics import mel_cepstral_distortion
+
+    batch = make_corpus()
+    print(f"training both stacks for {N_STEPS} steps (B={B}, identical init, "
+          f"Adam lr={LR}, grad clip 1.0) ...")
+    sd0, traj_t, post_tf_t, post_free_t = train_torch(batch, N_STEPS)
+    traj_j, post_tf_j, post_free_j, free_len_j = train_jax(batch, sd0, N_STEPS)
+
+    rows = []
+    for step in sorted(traj_t):
+        tt, tj = traj_t[step], traj_j[step]
+        rows.append((step, tt["TotalLoss"], tj["TotalLoss"],
+                     tt["mel_loss"], tj["mel_loss"]))
+
+    # MCD between the stacks' outputs and vs target (teacher-forced -> frame
+    # aligned; free-running -> DTW)
+    mcd_xstack_tf = np.mean([
+        mel_cepstral_distortion(post_tf_t[i], post_tf_j[i], use_dtw=False)
+        for i in range(B)
+    ])
+    tgt = batch["mel_targets"]
+    mcd_t_tgt = np.mean([
+        mel_cepstral_distortion(post_tf_t[i], tgt[i], use_dtw=False)
+        for i in range(B)
+    ])
+    mcd_j_tgt = np.mean([
+        mel_cepstral_distortion(post_tf_j[i], tgt[i], use_dtw=False)
+        for i in range(B)
+    ])
+    if post_free_t is not None:
+        mcd_xstack_free = float(np.mean([
+            mel_cepstral_distortion(post_free_t[i],
+                                    post_free_j[i, : max(free_len_j[i], 1)])
+            for i in range(B)
+        ]))
+    else:
+        mcd_xstack_free = None
+
+    print("\n| step | total (torch) | total (kantts_tpu) | mel (torch) | mel (kantts_tpu) |")
+    print("|---|---|---|---|---|")
+    for step, tt, tj, mt, mj in rows:
+        print(f"| {step} | {tt:.4f} | {tj:.4f} | {mt:.4f} | {mj:.4f} |")
+    final_t, final_j = rows[-1][1], rows[-1][2]
+    print(f"\nfinal TotalLoss: torch {final_t:.4f} vs kantts_tpu {final_j:.4f} "
+          f"(rel diff {abs(final_t - final_j) / final_t * 100:.2f}%)")
+    print(f"MCD teacher-forced, cross-stack: {mcd_xstack_tf:.3f} dB")
+    print(f"MCD teacher-forced vs target:    torch {mcd_t_tgt:.3f} dB, "
+          f"kantts_tpu {mcd_j_tgt:.3f} dB")
+    if mcd_xstack_free is not None:
+        print(f"MCD free-running (DTW), cross-stack: {mcd_xstack_free:.3f} dB")
+    else:
+        print("MCD free-running: skipped (reference free-running decode "
+              "degenerate at this step count)")
+
+    out = {
+        "n_steps": N_STEPS,
+        "trajectory": [
+            {"step": s, "total_torch": tt, "total_jax": tj,
+             "mel_torch": mt, "mel_jax": mj}
+            for s, tt, tj, mt, mj in rows
+        ],
+        "final_total_rel_diff_pct": abs(final_t - final_j) / final_t * 100,
+        "mcd_teacher_forced_cross_stack_db": float(mcd_xstack_tf),
+        "mcd_teacher_forced_torch_vs_target_db": float(mcd_t_tgt),
+        "mcd_teacher_forced_jax_vs_target_db": float(mcd_j_tgt),
+        "mcd_free_running_cross_stack_db": mcd_xstack_free,
+    }
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "cross_stack_parity.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    print(f"\nwrote {path}")
+
+
+if __name__ == "__main__":
+    main()
