@@ -104,6 +104,8 @@ def bench_sambert():
     )["Model"]["KanTtsSAMBERT"]["params"]
     cfg.update(sy=147, tone=10, syllable_flag=8, word_segment=8, emotion=36,
                speaker=4)
+    if os.environ.get("KANTTS_SAMBERT_DTYPE") == "bfloat16":
+        cfg["compute_dtype"] = "bfloat16"
     model = KanTtsSAMBERT(cfg)
     rng = np.random.RandomState(0)
     B, T_in, MAXLEN = 1, 96, 576

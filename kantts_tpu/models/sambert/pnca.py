@@ -420,8 +420,11 @@ def pnca_decoder_infer(
 
     h_kv = decoder.apply(variables, memory, method=MelPNCADecoder.dec_prepare)
 
-    cache_k = jnp.zeros((L, B, H, T, dh), dtype=memory.dtype)
-    cache_v = jnp.zeros((L, B, H, T, dh), dtype=memory.dtype)
+    # KV caches live in the compute dtype: with bf16 mixed precision they
+    # halve the per-step HBM traffic of the decode scan
+    cache_dtype = decoder.dtype or memory.dtype
+    cache_k = jnp.zeros((L, B, H, T, dh), dtype=cache_dtype)
+    cache_v = jnp.zeros((L, B, H, T, dh), dtype=cache_dtype)
     go = jnp.zeros((B, 1, d_mel), dtype=memory.dtype)
 
     def body(carry, t):

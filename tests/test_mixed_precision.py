@@ -119,3 +119,38 @@ def test_mixed_precision_sambert_close_to_f32():
     # identical init (dtype does not change param init); outputs close
     scale = max(np.abs(f32).max(), 1.0)
     assert np.abs(f32 - bf16).max() / scale < 0.08
+
+
+def test_mixed_precision_sambert_infer():
+    """Free-running inference (scan decode, bf16 KV caches) runs and stays
+    close to the f32 decode."""
+    from kantts_tpu.models.sambert.sambert import KanTtsSAMBERT, sambert_infer
+
+    config = yaml.safe_load(yaml.safe_dump(SAMBERT_TINY))
+    cfg = config["Model"]["KanTtsSAMBERT"]["params"]
+    cfg.update(sy=20, tone=6, syllable_flag=8, word_segment=8, emotion=5,
+               speaker=3)
+    rng = np.random.RandomState(0)
+    batch = _sambert_batch(rng)
+
+    def infer(extra):
+        model = KanTtsSAMBERT({**cfg, **extra})
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            batch["input_lings"], batch["input_emotions"],
+            batch["input_speakers"], batch["valid_input_lengths"],
+            batch["valid_output_lengths"], batch["mel_targets"],
+            duration_targets=batch["durations"],
+            pitch_targets=batch["pitch_contours"],
+            energy_targets=batch["energy_contours"], deterministic=True,
+        )
+        res = sambert_infer(model, variables, batch["input_lings"],
+                            batch["input_emotions"], batch["input_speakers"],
+                            batch["valid_input_lengths"], max_output_len=48)
+        return np.asarray(res["postnet_outputs"])
+
+    f32 = infer({})
+    bf16 = infer({"compute_dtype": "bfloat16"})
+    assert np.isfinite(bf16).all()
+    scale = max(np.abs(f32).max(), 1.0)
+    assert np.abs(f32 - bf16).max() / scale < 0.12
