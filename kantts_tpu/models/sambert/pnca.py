@@ -406,11 +406,14 @@ def pnca_decoder_infer(
     x_band_width: jnp.ndarray,
     h_band_width: jnp.ndarray,
     mem_pad_mask: Optional[jnp.ndarray] = None,
+    unroll: int = 4,
 ) -> jnp.ndarray:
     """Incremental decode as ONE lax.scan over memory steps.
 
     Replaces the reference's python frame loop (kantts_sambert.py:569-611).
-    Returns (B, T, d_mel * r) decoder outputs.
+    Returns (B, T, d_mel * r) decoder outputs. ``unroll`` amortizes per-step
+    dispatch overhead — the per-step matmuls are tiny (d_model=128), so the
+    scan is launch-bound, not FLOP-bound.
     """
     B, T, _ = memory.shape
     L = decoder.nb_layers
@@ -438,5 +441,6 @@ def pnca_decoder_infer(
         new_prev = out[:, :, -d_mel:]
         return (new_prev, caches), out[:, 0, :]
 
-    (_, _), outs = jax.lax.scan(body, (go, (cache_k, cache_v)), jnp.arange(T))
+    (_, _), outs = jax.lax.scan(body, (go, (cache_k, cache_v)), jnp.arange(T),
+                                unroll=min(unroll, T))
     return jnp.swapaxes(outs, 0, 1)  # (B, T, d_mel * r)
