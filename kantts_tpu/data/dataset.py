@@ -89,13 +89,18 @@ class Padder:
 
     @staticmethod
     def stack_1d(xs: Sequence[np.ndarray], length: int, pad) -> np.ndarray:
-        return np.stack([Padder.pad_1d(x, length, pad) for x in xs])
+        out = np.full((len(xs), length), pad, dtype=np.asarray(xs[0]).dtype)
+        for i, x in enumerate(xs):
+            out[i, : len(x)] = x
+        return out
 
     @staticmethod
     def stack_2d(xs: Sequence[np.ndarray], length: int, pad) -> np.ndarray:
-        return np.stack([Padder.pad_2d(x, length, pad) for x in xs]).astype(
-            np.float32
-        )
+        # single preallocated fill — pad+stack+astype would copy 3x
+        out = np.full((len(xs), length, xs[0].shape[1]), pad, dtype=np.float32)
+        for i, x in enumerate(xs):
+            out[i, : x.shape[0]] = x
+        return out
 
 
 def _split_metafile(lines: List[str], split_ratio: float) -> Tuple[List[str], List[str]]:

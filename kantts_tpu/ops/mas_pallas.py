@@ -50,14 +50,15 @@ def _make_kernel(T_mel: int, T_text: int, G: int):
         row0 = jnp.log(jnp.clip(attn_ref[0, 0], 1e-30, None))
         row0 = jnp.where((cols == 0) & col_valid, row0, NEG)
         logp_ref[...] = row0
-        take_ref[0] = jnp.zeros((G, T_text), jnp.float32)
+        take_ref[0] = jnp.zeros((G, T_text), jnp.int8)
 
-        # ---- forward DP over mel frames (vectorized over the group)
+        # ---- forward DP over mel frames (vectorized over the group);
+        # backpointers stored as int8 (4x less VMEM -> bigger groups)
         def dp_body(i, _):
             prev = logp_ref[...]  # (G, T_text)
             shifted = pltpu.roll(prev, 1, axis=1)
             shifted = jnp.where(cols == 0, NEG, shifted)
-            take = (shifted >= prev).astype(jnp.float32)
+            take = (shifted >= prev).astype(jnp.int8)
             best = jnp.maximum(shifted, prev)
             row = jnp.log(jnp.clip(attn_ref[0, i], 1e-30, None))
             row = jnp.where(col_valid, row, NEG)
@@ -75,10 +76,10 @@ def _make_kernel(T_mel: int, T_text: int, G: int):
             active = i <= start_row  # (G, 1)
             onehot = ((cols == cur_col) & active & col_valid).astype(jnp.float32)
             opt_ref[0, i] = onehot
-            take_row = take_ref[i]  # (G, T_text)
-            tp = jnp.sum(jnp.where(cols == cur_col, take_row, 0.0), axis=1,
+            take_row = take_ref[i].astype(jnp.int32)  # (G, T_text)
+            tp = jnp.sum(jnp.where(cols == cur_col, take_row, 0), axis=1,
                          keepdims=True)
-            move = jnp.where(active & (i > 0), tp.astype(jnp.int32), 0)
+            move = jnp.where(active & (i > 0), tp, 0)
             return jnp.where(active, cur_col - move, cur_col)
 
         jax.lax.fori_loop(0, T_mel, bt_body, in_len - 1)
@@ -88,7 +89,7 @@ def _make_kernel(T_mel: int, T_text: int, G: int):
 
 @functools.partial(jax.jit, static_argnames=("group", "interpret"))
 def b_mas_pallas(attn: jnp.ndarray, in_lens: jnp.ndarray,
-                 out_lens: jnp.ndarray, group: int = 8,
+                 out_lens: jnp.ndarray, group: int = 16,
                  interpret: bool = False) -> jnp.ndarray:
     """Batched MAS on TPU via Pallas. attn: (B, 1, T_mel, T_text) soft
     attention -> same-shape hard 0/1 alignment. ``group`` batch items run
@@ -118,7 +119,7 @@ def b_mas_pallas(attn: jnp.ndarray, in_lens: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((G, T_text), jnp.float32),
-            pltpu.VMEM((T_mel, G, T_text), jnp.float32),
+            pltpu.VMEM((T_mel, G, T_text), jnp.int8),
         ],
     )
 

@@ -19,6 +19,7 @@ Encoding contract:
 
 from __future__ import annotations
 
+import functools
 import logging
 import re
 from typing import Any, Dict, List
@@ -38,6 +39,17 @@ SPECIALS = [PAD, EOS, MASK]
 
 
 def _clean_text(text: str, cleaner_names: List[str]) -> str:
+    return _clean_text_cached(text, tuple(cleaner_names))
+
+
+@functools.lru_cache(maxsize=4096)
+def _clean_text_cached(text: str, cleaner_names: tuple) -> str:
+    """Cleaners are pure text->text functions, so results are memoized.
+
+    The sy-track encoder calls this once per phone token on the (mostly
+    empty) inter-brace gaps — without the cache that is ~25 regex subs per
+    phone and dominates AMDataset item-load time.
+    """
     for name in cleaner_names:
         cleaner = getattr(cleaners_mod, name, None)
         if cleaner is None:

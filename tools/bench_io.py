@@ -98,8 +98,22 @@ def main():
         return {k: jnp.asarray(v) for k, v in batch.items()
                 if v is not None}
 
+    # the jitted step donates its state argument, so a single live state
+    # threads through every timed run
+    live = {"state": built["state"]}
+
+    def lookahead(host_iter):
+        """One-deep device lookahead (Trainer._lookahead): dispatch batch
+        k+1's async host->device transfer before step k consumes batch k."""
+        it = iter(host_iter)
+        nxt = to_device(next(it))
+        for batch in it:
+            cur, nxt = nxt, to_device(batch)
+            yield cur
+        yield nxt
+
     def run_steps(batch_iter, label):
-        state = built["state"]
+        state = live["state"]
         i = 0
         t0 = None
         for batch in batch_iter:
@@ -113,6 +127,7 @@ def main():
             if i >= N_STEPS:
                 break
         _ = float(metrics["TotalLoss"])
+        live["state"] = state
         dt = (time.perf_counter() - t0) / (i - i0)
         frames = B * 600
         print(f"{label:16s}: {dt*1000:7.1f} ms/step, "
@@ -128,16 +143,16 @@ def main():
 
     dt_syn = run_steps(synthetic_iter(), "synthetic")
 
-    # 2/3. disk-backed loaders
+    # 2/3. disk-backed loaders, with the trainer's device lookahead
     for workers in (0, 4):
         loader = DataLoader(dataset, B, shuffle=True, num_workers=workers)
 
-        def loader_iter():
+        def host_iter():
             while True:
                 for b in loader:
-                    yield to_device(b)
+                    yield b
 
-        dt = run_steps(loader_iter(), f"loader n={workers}")
+        dt = run_steps(lookahead(host_iter()), f"loader n={workers}")
         print(f"  -> overhead vs synthetic: "
               f"{(dt - dt_syn) / dt_syn * 100:+.1f}%")
 
