@@ -31,7 +31,11 @@ def _argv_steps(default=300):
 
 N_STEPS = _argv_steps()
 LOG_EVERY = max(1, N_STEPS // 15)
-B, T_IN, T_MEL = 8, 10, 24
+# Longer utterances (KANTTS_XSTACK_TIN/TMEL) give the duration predictor
+# >=4-frame targets so the reference's free-running decode stays live.
+B = 8
+T_IN = int(os.environ.get("KANTTS_XSTACK_TIN", "10"))
+T_MEL = int(os.environ.get("KANTTS_XSTACK_TMEL", "24"))
 NUM_MELS = TINY_CFG["num_mels"]
 LR = 1e-3
 
@@ -69,6 +73,16 @@ def train_torch(batch, n_steps):
 
     torch.manual_seed(0)
     model = TorchSambert(TINY_CFG)
+    # Dead-ReLU guard for the tiny fixed corpus: at the default init the
+    # duration head's relu(fc(.)) is 0 for every input, so no gradient ever
+    # reaches it (dur_loss stays exactly log(dur+1)) and free-running decode
+    # degenerates in BOTH stacks. A positive fc bias (captured in sd0, so
+    # both stacks still share identical init) keeps the head trainable.
+    with torch.no_grad():
+        dict(model.named_parameters())[next(
+            k for k, _ in model.named_parameters()
+            if k.endswith("duration_predictor.fc.bias")
+        )].fill_(1.0)
     sd0 = {k: v.detach().numpy().copy() for k, v in model.state_dict().items()}
     model.train()
     opt = torch.optim.Adam(model.parameters(), lr=LR, betas=(0.9, 0.98),
@@ -119,10 +133,19 @@ def train_torch(batch, n_steps):
         )
         post_tf = res["postnet_outputs"].numpy()
         try:
-            infer = model(tb["input_lings"], tb["input_emotions"],
-                          tb["input_speakers"], tb["valid_input_lengths"])
-            post_free = infer["postnet_outputs"].numpy()
-        except ValueError:  # degenerate (near-zero) predicted durations
+            # one utterance at a time: the reference's incremental PNCA
+            # decode is only exercised at B=1 in-tree (text_to_wav) and its
+            # batched masks are buggy at B>1
+            post_free = [
+                model(tb["input_lings"][i : i + 1],
+                      tb["input_emotions"][i : i + 1],
+                      tb["input_speakers"][i : i + 1],
+                      tb["valid_input_lengths"][i : i + 1],
+                      )["postnet_outputs"].numpy()[0]
+                for i in range(tb["input_lings"].size(0))
+            ]
+        except (ValueError, RuntimeError):
+            # degenerate (near-zero) predicted durations -> empty decode
             post_free = None
     return sd0, traj, post_tf, post_free
 
@@ -250,6 +273,8 @@ def main():
 
     out = {
         "n_steps": N_STEPS,
+        "t_in": T_IN,
+        "t_mel": T_MEL,
         "trajectory": [
             {"step": s, "total_torch": tt, "total_jax": tj,
              "mel_torch": mt, "mel_jax": mj}
@@ -261,8 +286,9 @@ def main():
         "mcd_teacher_forced_jax_vs_target_db": float(mcd_j_tgt),
         "mcd_free_running_cross_stack_db": mcd_xstack_free,
     }
+    suffix = "" if (T_IN, T_MEL) == (10, 24) else f"_{T_IN}x{T_MEL}"
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "cross_stack_parity.json")
+                        f"cross_stack_parity{suffix}.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
     print(f"\nwrote {path}")
