@@ -23,6 +23,27 @@ import jax.numpy as jnp
 import numpy as np
 
 
+_RUN_CACHE: dict = {}
+
+
+def _run_window_fn(generator):
+    """Per-generator jitted window program, cached at module level so every
+    stream_synthesis call reuses one compiled program (a per-call jit
+    closure would retrace each utterance — seconds of first-chunk latency).
+    Keyed by id() with a strong reference held; YAML-built modules carry
+    list fields, so they are not hashable as jit static args."""
+    entry = _RUN_CACHE.get(id(generator))
+    if entry is None or entry[0] is not generator:
+
+        @jax.jit
+        def fn(variables, window, rng):
+            return generator.apply(variables, window, rngs={"noise": rng})
+
+        _RUN_CACHE[id(generator)] = (generator, fn)
+        entry = _RUN_CACHE[id(generator)]
+    return entry[1]
+
+
 def causal_receptive_field_frames(
     kernel_size: int,
     upsample_scales,
@@ -75,9 +96,10 @@ def stream_synthesis(
     hop = int(np.prod(generator.upsample_scales))
     rng = rng if rng is not None else jax.random.PRNGKey(0)
 
-    @jax.jit
+    _run = _run_window_fn(generator)
+
     def run(window):
-        return generator.apply(variables, window, rngs={"noise": rng})
+        return _run(variables, window, rng)
 
     T = mel.shape[0]
     window_frames = context_frames + chunk_frames

@@ -92,6 +92,9 @@ def bench_hifigan():
     from kantts_tpu.train.steps import make_gan_step
 
     full = yaml.safe_load(open("kantts_tpu/configs/hifigan_v1_16k.yaml"))
+    if os.environ.get("KANTTS_BENCH_MIXED"):
+        full["mixed_precision"] = True
+        print("mixed_precision: bf16 G/D compute, f32 params")
     built = hifigan_model_builder(full)
     criterion = criterion_builder(full)
     rng = np.random.RandomState(0)
