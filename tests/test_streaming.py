@@ -51,3 +51,22 @@ def test_stream_latency_chunks():
     chunks = list(stream_synthesis(gen, params, mel, chunk_frames=10))
     assert len(chunks) == 4
     assert all(c.shape[0] == 10 * hop for c in chunks)
+
+
+def test_stream_jit_program_reused_across_calls():
+    """Repeated stream_synthesis calls for one generator must reuse one
+    jitted program (a per-call closure would retrace every utterance and
+    blow up first-chunk latency)."""
+    from kantts_tpu.infer import streaming as streaming_mod
+
+    gen = Generator(**CFG)
+    rng = np.random.RandomState(2)
+    mel = rng.randn(32, 20).astype(np.float32)
+    params = gen.init(jax.random.PRNGKey(0), jnp.asarray(mel[None]))
+
+    list(stream_synthesis(gen, params, mel, chunk_frames=8))
+    fn = streaming_mod._RUN_CACHE[id(gen)][1]
+    n_traces = fn._cache_size()
+    list(stream_synthesis(gen, params, mel, chunk_frames=8))
+    assert streaming_mod._RUN_CACHE[id(gen)][1] is fn
+    assert fn._cache_size() == n_traces
