@@ -13,6 +13,19 @@ import numpy as np
 import yaml
 
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache (same location as bench.py) — the GAN
+    step program alone takes ~10 min to build cold."""
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("KANTTS_BENCH_CACHE",
+                       os.path.join(os.path.dirname(os.path.dirname(
+                           os.path.abspath(__file__))), ".jax_compile_cache")))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+
 def fetch(x):
     """Host fetch = reliable completion barrier on this platform."""
     import jax
@@ -124,6 +137,7 @@ def bench_hifigan():
 
 
 if __name__ == "__main__":
+    _enable_compile_cache()
     which = sys.argv[1] if len(sys.argv) > 1 else "both"
     if which in ("sambert", "both"):
         bench_sambert()
