@@ -406,7 +406,7 @@ def pnca_decoder_infer(
     x_band_width: jnp.ndarray,
     h_band_width: jnp.ndarray,
     mem_pad_mask: Optional[jnp.ndarray] = None,
-    unroll: int = 4,
+    unroll: int = 12,
 ) -> jnp.ndarray:
     """Incremental decode as ONE lax.scan over memory steps.
 

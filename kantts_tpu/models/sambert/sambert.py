@@ -24,6 +24,8 @@ from __future__ import annotations
 
 from typing import Any, Dict, Optional, Tuple
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -660,6 +662,11 @@ def sambert_infer(
         decoder_def,
         {"params": variables["params"]["mel_decoder"]},
         memory, x_band_width, h_band_width, mem_pad_mask,
+        # trace-time tunable: the scan is launch-bound, so deeper unrolls
+        # trade compile time for step-dispatch amortization (12 is the
+        # measured sweet spot on v5e: 22.4k vs 21.2k frames/s at 4; 8 and 16
+        # both regress — see PERFORMANCE.md)
+        unroll=int(os.environ.get("KANTTS_DECODE_UNROLL", "12")),
     )
 
     dec, post = model.apply(
