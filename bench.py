@@ -108,18 +108,19 @@ def bench_sambert():
         cfg["compute_dtype"] = "bfloat16"
     model = KanTtsSAMBERT(cfg)
     rng = np.random.RandomState(0)
-    B, T_in, MAXLEN = 1, 96, 576
+    B = int(os.environ.get("KANTTS_BENCH_BATCH", "1"))
+    T_in, MAXLEN = 96, 576
     batch = dict(
         ling=jnp.asarray(rng.randint(0, 5, (B, T_in, 4)), dtype=jnp.int32),
         emo=jnp.asarray(rng.randint(0, 4, (B, T_in)), dtype=jnp.int32),
         spk=jnp.asarray(rng.randint(0, 2, (B, T_in)), dtype=jnp.int32),
-        lengths=jnp.asarray([T_in]),
+        lengths=jnp.asarray([T_in] * B),
     )
     T_mel = 24
     variables = model.init(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
         batch["ling"], batch["emo"], batch["spk"], batch["lengths"],
-        jnp.asarray([T_mel]), jnp.zeros((B, T_mel, 80)),
+        jnp.asarray([T_mel] * B), jnp.zeros((B, T_mel, 80)),
         duration_targets=jnp.full((B, T_in), T_mel / T_in),
         pitch_targets=jnp.zeros((B, T_in)),
         energy_targets=jnp.zeros((B, T_in)), deterministic=False,
@@ -141,7 +142,7 @@ def bench_sambert():
         dt = (time.perf_counter() - t0) / n_iter
         best_dt = dt if best_dt is None else min(best_dt, dt)
 
-    frames_per_s = MAXLEN / best_dt
+    frames_per_s = B * MAXLEN / best_dt
     return {
         "metric": "sambert16k_infer_mel_frames_per_s",
         "value": round(frames_per_s, 1),
