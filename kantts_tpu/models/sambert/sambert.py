@@ -630,7 +630,9 @@ def sambert_infer(
     go = jnp.zeros((B, 1), dtype=text_hid.dtype)
     (_, _), log_dur = jax.lax.scan(
         dur_body, (go, (lstm_h, lstm_c)), jnp.arange(T_in),
-        unroll=min(4, T_in),  # launch-bound: tiny LSTM per step
+        # launch-bound (tiny LSTM per step); trace-time tunable like the
+        # mel decode scan
+        unroll=min(int(os.environ.get("KANTTS_DUR_UNROLL", "8")), T_in),
     )
     log_duration_predictions = jnp.where(input_masks, 0.0, log_dur.T)  # (B, T_in)
     duration_predictions = jnp.exp(log_duration_predictions) - 1.0
