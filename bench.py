@@ -3,12 +3,18 @@
 
 The primary metric is HiFi-GAN 16 kHz copy-synthesis throughput (the
 BASELINE.json north-star is >=10x realtime per chip; the reference publishes
-no numbers — see BASELINE.md). The default run ALSO measures SAM-BERT
-acoustic inference (mel frames/sec) and the SAM-BERT train step
-(mel frames/sec trained), reported under "extra" in the same JSON line.
+no numbers — see BASELINE.md). The default run ALSO measures the f32 vocoder
+(the reference's numerical default), SAM-BERT acoustic inference (mel
+frames/sec), and the SAM-BERT train step (mel frames/sec trained), reported
+under "extra" in the same JSON line. Every metric carries roofline
+accounting: FLOPs from XLA cost analysis, achieved TFLOP/s, and ``mfu``
+against the chip's bf16 matmul peak (KANTTS_CHIP_PEAK_TFLOPS, default 197
+for v5e).
 
 Set KANTTS_BENCH_TARGET=hifigan|sambert|train to run a single target (the
-chosen one becomes the primary metric, no extras).
+chosen one becomes the primary metric, no extras). KANTTS_BENCH_TIN=800
+KANTTS_BENCH_MAXLEN=4800 runs SAM-BERT at the reference's max_len bucket
+(long-input mode). tools/bench_scaling.py sweeps the batch dimension.
 """
 
 import json
@@ -40,13 +46,45 @@ def _enable_compile_cache():
         pass
 
 
-def bench_hifigan():
+def _chip_peak_tflops(dtype_name: str) -> float:
+    """Matmul peak used for MFU accounting. Default: v5e bf16 peak (197
+    TFLOP/s). f32 matmuls lower to bf16x3 passes on the MXU (~1/4-1/6 of
+    bf16 peak); we still normalize f32 MFU against the bf16 peak so the two
+    numbers are on one scale — override with KANTTS_CHIP_PEAK_TFLOPS."""
+    return float(os.environ.get("KANTTS_CHIP_PEAK_TFLOPS", "197"))
+
+
+def _cost_flops(jitted_fn, *args):
+    """FLOPs of the compiled program via XLA cost analysis (None if the
+    backend does not expose it)."""
+    try:
+        ca = jitted_fn.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca["flops"])
+    except Exception:
+        return None
+
+
+def _mfu_fields(flops, seconds_per_call, dtype_name):
+    if flops is None or seconds_per_call <= 0:
+        return {}
+    tflops = flops / seconds_per_call / 1e12
+    peak = _chip_peak_tflops(dtype_name)
+    return {"gflops_per_call": round(flops / 1e9, 1),
+            "achieved_tflops": round(tflops, 2),
+            "mfu": round(tflops / peak, 4),
+            "peak_tflops_used": peak}
+
+
+def bench_hifigan(dtype_name=None):
     import jax
     import jax.numpy as jnp
 
     from __graft_entry__ import _hifigan_16k
 
-    dtype_name = os.environ.get("KANTTS_BENCH_DTYPE", "bfloat16")
+    if dtype_name is None:
+        dtype_name = os.environ.get("KANTTS_BENCH_DTYPE", "bfloat16")
     dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[dtype_name]
 
     sample_rate, hop = 16000, 200
@@ -88,6 +126,9 @@ def bench_hifigan():
         "value": round(xrt, 2),
         "unit": "x_realtime_per_chip",
         "vs_baseline": round(xrt / 10.0, 3),
+        "dtype": dtype_name,
+        **_mfu_fields(_cost_flops(fwd, params, mel, carry),
+                      best_dt / n_iter, dtype_name),
     }
 
 
@@ -109,7 +150,11 @@ def bench_sambert():
     model = KanTtsSAMBERT(cfg)
     rng = np.random.RandomState(0)
     B = int(os.environ.get("KANTTS_BENCH_BATCH", "1"))
-    T_in, MAXLEN = 96, 576
+    # long-input mode: KANTTS_BENCH_TIN=800 KANTTS_BENCH_MAXLEN=4800 runs the
+    # reference's max_len bucket (configs/sambert_16k.yaml:8) in ONE compiled
+    # program — static shapes mean no recompile storm at the big bucket
+    T_in = int(os.environ.get("KANTTS_BENCH_TIN", "96"))
+    MAXLEN = int(os.environ.get("KANTTS_BENCH_MAXLEN", "576"))
     batch = dict(
         ling=jnp.asarray(rng.randint(0, 5, (B, T_in, 4)), dtype=jnp.int32),
         emo=jnp.asarray(rng.randint(0, 4, (B, T_in)), dtype=jnp.int32),
@@ -143,12 +188,21 @@ def bench_sambert():
         best_dt = dt if best_dt is None else min(best_dt, dt)
 
     frames_per_s = B * MAXLEN / best_dt
+    dtype_name = ("bfloat16" if os.environ.get("KANTTS_SAMBERT_DTYPE")
+                  == "bfloat16" else "float32")
     return {
         "metric": "sambert16k_infer_mel_frames_per_s",
         "value": round(frames_per_s, 1),
         "unit": "mel_frames_per_sec_per_chip",
         # vs the 10x-realtime north star expressed in frames (80 frames/s * 10)
         "vs_baseline": round(frames_per_s / 800.0, 3),
+        "dtype": dtype_name,
+        "t_in": T_in,
+        "max_output_len": MAXLEN,
+        **_mfu_fields(
+            _cost_flops(fn, variables, batch["ling"], batch["emo"],
+                        batch["spk"], batch["lengths"]),
+            best_dt, dtype_name),
     }
 
 
@@ -204,6 +258,10 @@ def bench_train_step():
     state = TrainState(variables["params"], tx.init(variables["params"]),
                        jnp.asarray(0, dtype=jnp.int32))
     step = make_sambert_step(model, criterion, tx, False, False)
+    # cost analysis BEFORE any call: the step donates its state argument, so
+    # lowering against the original state only works while it is still live
+    train_flops = _cost_flops(step, state, batch, jax.random.PRNGKey(0),
+                              jnp.asarray(0))
 
     state, metrics = step(state, batch, jax.random.PRNGKey(0), jnp.asarray(0))
     _ = float(metrics["TotalLoss"])
@@ -227,6 +285,8 @@ def bench_train_step():
         # reference's 1M-step schedule at this rate, vs its multi-day GPU runs;
         # normalize against one training day (=11.6 steps/s for 1M steps/day)
         "vs_baseline": round((1.0 / best_dt) / 11.574, 3),
+        "dtype": "float32",
+        **_mfu_fields(train_flops, best_dt, "float32"),
     }
 
 
@@ -238,24 +298,27 @@ def main():
     if target:
         print(json.dumps(benches[target]()))
         return
-    # default: all three; primary line = hifigan, others under "extra".
-    # The primary result prints IMMEDIATELY (so a harness timeout still
-    # captures it); the final combined line supersedes it when extras finish.
+    # default: all three; primary metric = hifigan, others under "extra".
+    # stdout carries EXACTLY ONE JSON line (the module contract); progress
+    # snapshots go to stderr so a timeout-killed run still leaves evidence.
     # Compiles dominate wall-clock (remote compile; the persistent cache
     # cannot help), hence the generous budget.
     budget_s = float(os.environ.get("KANTTS_BENCH_BUDGET_S", "1500"))
     result = bench_hifigan()
-    print(json.dumps(result), flush=True)
+    print(json.dumps(result), file=sys.stderr, flush=True)
     extra = {}
-    for name in ("sambert", "train"):
+    extras = {"hifigan_f32": lambda: bench_hifigan("float32"),
+              "sambert": bench_sambert, "train": bench_train_step}
+    for name, fn in extras.items():
         if time.perf_counter() - _T0 > budget_s:
             extra[name + "_skipped"] = "wall-clock budget exhausted"
             continue
         try:
-            r = benches[name]()
-            extra[r["metric"]] = {"value": r["value"], "unit": r["unit"],
-                                  "vs_baseline": r["vs_baseline"]}
-            print(json.dumps({**result, "extra": dict(extra)}), flush=True)
+            r = fn()
+            key = r["metric"] + ("_f32" if name == "hifigan_f32" else "")
+            extra[key] = {k: v for k, v in r.items() if k != "metric"}
+            print(json.dumps({**result, "extra": dict(extra)}),
+                  file=sys.stderr, flush=True)
         except Exception as e:  # never let a secondary bench kill the line
             extra[name + "_error"] = repr(e)
     result["extra"] = extra

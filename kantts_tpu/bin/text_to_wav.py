@@ -85,14 +85,19 @@ def text_to_wav(output_dir, am_ckpt, voc_ckpt, text_file=None,
     else:
         if frontend is None:
             # in-tree raw-text path: tone-numbered pinyin with default
-            # prosody (see text/pinyin_frontend.py). Hanzi input still needs
-            # an external g2p plugin (the reference's ttsfrd engine is
-            # closed-source and not portable) via --frontend, or precomputed
-            # --symbols_file sequences.
+            # prosody (see text/pinyin_frontend.py). For hanzi input pass
+            # ``--frontend lexicon:readings.tsv`` (user-supplied hanzi->pinyin
+            # lexicon, text/lexicon_frontend.py) or a custom g2p module (the
+            # reference's ttsfrd engine is closed-source and not portable),
+            # or precomputed --symbols_file sequences.
             frontend = "kantts_tpu.text.pinyin_frontend"
             logging.info("Using the in-tree pinyin front-end (tone-numbered "
-                         "pinyin input); pass --frontend for a custom g2p.")
-        fe = importlib.import_module(frontend)
+                         "pinyin input); pass --frontend for hanzi/custom g2p.")
+        if frontend.startswith("lexicon:"):
+            from kantts_tpu.text.lexicon_frontend import make_frontend
+            fe = make_frontend(frontend[len("lexicon:"):])
+        else:
+            fe = importlib.import_module(frontend)
         with open(text_file, encoding="utf-8") as f:
             texts = [line.strip() for line in f if line.strip()]
         symbol_seqs = fe.text_to_symbols(texts, speaker=speaker, lang=lang)
@@ -121,7 +126,9 @@ def main():
     parser.add_argument("--symbols_file", type=str, default=None,
                         help="precomputed symbol sequences (utt\\tsymbols)")
     parser.add_argument("--frontend", type=str, default=None,
-                        help="python module exposing text_to_symbols()")
+                        help="python module exposing text_to_symbols(), or "
+                             "'lexicon:readings.tsv' for hanzi input via a "
+                             "user-supplied hanzi->pinyin lexicon")
     parser.add_argument("--output_dir", type=str, required=True)
     parser.add_argument("--am_ckpt", type=str, required=True)
     parser.add_argument("--voc_ckpt", type=str, required=True)

@@ -646,14 +646,19 @@ class BERTTextDataset:
         return len(self.meta)
 
     def __getitem__(self, idx):
+        """Returns the encoded ling tracks only. BERT masking is applied in
+        collate_fn — which the DataLoader runs on its single coordinator
+        thread in sampler order — so masks are identical between the
+        synchronous and the threaded (num_workers > 0) loading paths.
+        Drawing masks here would consume the shared RandomState in whatever
+        order pool threads finish, making sybert training irreproducible."""
         if self.allow_cache and len(self.caches[idx]):
             ling_data = self.caches[idx][0]
         else:
             ling_data = self.ling_unit.encode_symbol_sequence(self.meta[idx])
             if self.allow_cache:
                 self.caches[idx] = (ling_data,)
-        mask, sy_masked = self.bert_masking(ling_data)
-        return (ling_data, sy_masked, mask)
+        return ling_data
 
     def bert_masking(self, ling_data):
         length = len(ling_data[0])
@@ -678,6 +683,13 @@ class BERTTextDataset:
             f.writelines(valid)
 
     def collate_fn(self, batch) -> Dict[str, Any]:
+        # batch items are raw ling tracks; draw masks here (single thread,
+        # sampler order) so the shared RNG is consumed deterministically
+        items = []
+        for ling_data in batch:
+            mask, sy_masked = self.bert_masking(ling_data)
+            items.append((ling_data, sy_masked, mask))
+        batch = items
         lu = self.ling_unit
         types = lu.lfeat_type_list
         max_in = max(len(x[0][0]) for x in batch)

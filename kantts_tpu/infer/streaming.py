@@ -16,6 +16,8 @@ was for.
 
 from __future__ import annotations
 
+import threading
+import weakref
 from typing import Iterator, Optional
 
 import jax
@@ -23,25 +25,38 @@ import jax.numpy as jnp
 import numpy as np
 
 
-_RUN_CACHE: dict = {}
+_RUN_CACHE: dict = {}  # id(generator) -> (weakref, jitted fn)
+# RLock: the weakref finalizer can fire at any point, including while this
+# thread already holds the lock inside _run_window_fn
+_RUN_CACHE_LOCK = threading.RLock()
 
 
 def _run_window_fn(generator):
     """Per-generator jitted window program, cached at module level so every
     stream_synthesis call reuses one compiled program (a per-call jit
     closure would retrace each utterance — seconds of first-chunk latency).
-    Keyed by id() with a strong reference held; YAML-built modules carry
-    list fields, so they are not hashable as jit static args."""
-    entry = _RUN_CACHE.get(id(generator))
-    if entry is None or entry[0] is not generator:
+    Keyed by id() and held through a weakref whose finalizer evicts the
+    entry, so generators (and their compiled XLA programs) are released
+    when the caller drops them — a strong reference would leak every
+    generator ever streamed in a long-lived serving process. YAML-built
+    modules carry list fields, so they are not hashable as jit static args
+    (nor as WeakKeyDictionary keys)."""
+    key = id(generator)
+    with _RUN_CACHE_LOCK:
+        entry = _RUN_CACHE.get(key)
+        if entry is not None and entry[0]() is generator:
+            return entry[1]
 
         @jax.jit
         def fn(variables, window, rng):
             return generator.apply(variables, window, rngs={"noise": rng})
 
-        _RUN_CACHE[id(generator)] = (generator, fn)
-        entry = _RUN_CACHE[id(generator)]
-    return entry[1]
+        def _evict(_ref, key=key):
+            with _RUN_CACHE_LOCK:
+                _RUN_CACHE.pop(key, None)
+
+        _RUN_CACHE[key] = (weakref.ref(generator, _evict), fn)
+        return fn
 
 
 def causal_receptive_field_frames(

@@ -92,6 +92,12 @@ class VarRnnARPredictor(nn.Module):
 
     prenet_units: Tuple[int, ...]
     rnn_units: int
+    # Head bias init. The reference's zero init (adaptors.py:60-83) makes
+    # relu(fc) exactly zero for every input on short-duration corpora, so the
+    # head never receives gradient (documented dead-ReLU footgun,
+    # PERFORMANCE.md). Config key ``dur_pred_bias_init: 1.0`` opts into a
+    # positive init; default 0.0 stays reference-faithful.
+    fc_bias_init: float = 0.0
 
     @nn.compact
     def __call__(
@@ -106,7 +112,10 @@ class VarRnnARPredictor(nn.Module):
         h = Prenet(tuple(self.prenet_units), name="prenet")(inputs, deterministic)
         h = jnp.concatenate([h, cond], axis=-1)
         h, new_state = LSTM(self.rnn_units, num_layers=2, name="lstm")(h, state)
-        out = jax.nn.relu(torch_linear(1, name="fc")(h)[..., 0])
+        out = jax.nn.relu(torch_linear(
+            1, name="fc",
+            bias_init=nn.initializers.constant(self.fc_bias_init),
+        )(h)[..., 0])
         if masks is not None:
             out = jnp.where(masks, 0.0, out)
         return out, new_state

@@ -29,14 +29,14 @@ def _torch_linear_kernel_init(key, shape, dtype=jnp.float32):
 
 
 def torch_linear(features: int, use_bias: bool = True, name: str | None = None,
-                 dtype=None) -> nn.Dense:
+                 dtype=None, bias_init=nn.initializers.zeros) -> nn.Dense:
     """dtype: compute dtype (params stay f32 via param_dtype default);
     None = full f32, jnp.bfloat16 = mixed-precision matmuls on the MXU."""
     return nn.Dense(
         features,
         use_bias=use_bias,
         kernel_init=_torch_linear_kernel_init,
-        bias_init=nn.initializers.zeros,
+        bias_init=bias_init,
         dtype=dtype,
         name=name,
     )

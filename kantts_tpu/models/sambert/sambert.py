@@ -149,7 +149,12 @@ class TextFftEncoder(nn.Module):
             enc_output = torch_linear(
                 cfg["encoder_projection_units"], use_bias=False, name="ling_proj"
             )(enc_output)
-        return enc_output, attns, ling_embedding
+        # The reference's SelfAttentionEncoder scales its input IN PLACE
+        # (``input *= d_model ** 0.5``, kantts_sambert.py:63), which aliases
+        # the ling_embedding tensor the caller later feeds to the MAS
+        # ConvAttention — so the reference's MAS keys are the embeddings
+        # scaled by sqrt(d_model). Reproduce that exact behavior.
+        return enc_output, attns, ling_embedding * float(np.sqrt(d_model))
 
 
 class PostNet(nn.Module):
@@ -262,6 +267,7 @@ class KanTtsSAMBERT(nn.Module):
         )
         self.duration_predictor = VarRnnARPredictor(
             tuple(cfg["dur_pred_prenet_units"]), cfg["dur_pred_lstm_units"],
+            fc_bias_init=float(cfg.get("dur_pred_bias_init", 0.0)),
         )
         self.pitch_emb = conv1d_same(cfg["encoder_projection_units"], 9)
         self.energy_emb = conv1d_same(cfg["encoder_projection_units"], 9)

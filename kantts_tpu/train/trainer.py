@@ -38,9 +38,40 @@ except ImportError:  # pragma: no cover
 
 
 def save_checkpoint_bytes(tree: Any, path: str) -> None:
-    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    with open(path, "wb") as f:
-        f.write(serialization.to_bytes(tree))
+    """Atomic checkpoint write: serialize to a temp file in the target dir,
+    then os.replace into place, so a crash mid-write can never corrupt the
+    newest checkpoint (which the crash-time handler depends on). In
+    multi-process runs every process assembles the tree (the host-local copy
+    is the DP 'gather'), but only process 0 touches the filesystem —
+    the reference's rank-0 gating of outputs (trainer.py:209-212)."""
+    if not is_primary():
+        return
+    path = os.path.abspath(path)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    payload = serialization.to_bytes(tree)
+    tmp_path = path + ".tmp"
+    with open(tmp_path, "wb") as f:
+        f.write(payload)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp_path, path)
+
+
+def prune_checkpoints(ckpt_dir: str, keep_last: int) -> None:
+    """Keep-last-k retention over ``checkpoint_{steps}.ckpt`` files; the
+    reference keeps everything (20k-step cadence over 1M+ steps fills disks)."""
+    if keep_last <= 0 or not os.path.isdir(ckpt_dir):
+        return
+    ckpts = []
+    for name in os.listdir(ckpt_dir):
+        if name.startswith("checkpoint_") and name.endswith(".ckpt"):
+            try:
+                steps = int(name[len("checkpoint_"):-len(".ckpt")])
+            except ValueError:
+                continue
+            ckpts.append((steps, name))
+    for _, name in sorted(ckpts)[:-keep_last] if len(ckpts) > keep_last else []:
+        os.remove(os.path.join(ckpt_dir, name))
 
 
 def load_checkpoint_bytes(target: Any, path: str) -> Any:
@@ -92,10 +123,14 @@ class Trainer:
     def train_epoch(self):
         for batch in self._lookahead(self.train_loader):
             self.train_step(batch)
-            if is_primary():
-                self.check_eval_interval()
-                self.check_save_interval()
-                self.check_log_interval()
+            # interval hooks run on ALL processes: eval_step executes the
+            # SPMD jitted step on globally-sharded arrays, which every
+            # process must participate in. Only file/TensorBoard writes are
+            # primary-gated (inside the hooks), matching the reference's
+            # rank-0 gating of outputs rather than of the computation.
+            self.check_eval_interval()
+            self.check_save_interval()
+            self.check_log_interval()
             self.steps += 1
             self.check_stop_training()
             if self.finish_training:
@@ -141,8 +176,11 @@ class Trainer:
     def check_save_interval(self):
         if self.ckpt_dir and self.steps % self.save_interval == 0:
             path = os.path.join(self.ckpt_dir, f"checkpoint_{self.steps}.ckpt")
-            self.save_checkpoint(path)
-            logging.info("Checkpoint saved at step %d", self.steps)
+            self.save_checkpoint(path)  # all processes gather; primary writes
+            if is_primary():
+                prune_checkpoints(self.ckpt_dir,
+                                  self.config.get("keep_last_checkpoints", 0))
+                logging.info("Checkpoint saved at step %d", self.steps)
 
     def check_log_interval(self):
         if self.steps % self.log_interval == 0:
@@ -152,8 +190,9 @@ class Trainer:
                 self.total_train_loss[key] = (
                     float(self.total_train_loss[key]) / self.log_interval
                 )
-                logging.info("(Steps: %d) %s = %.4f.", self.steps, key,
-                             self.total_train_loss[key])
+                if is_primary():
+                    logging.info("(Steps: %d) %s = %.4f.", self.steps, key,
+                                 self.total_train_loss[key])
             self.write_to_tensorboard(self.total_train_loss)
             self.total_train_loss = defaultdict(float)
 
@@ -176,20 +215,26 @@ class Trainer:
     # ------------------------------------------------------------------ eval
 
     def eval_epoch(self):
-        logging.info("(Epoch: %d) Start evaluation.", self.epoch)
+        """Runs on ALL processes (eval_step is an SPMD program over
+        globally-sharded batches); artifact dumps and logging are
+        primary-gated — they use host-local state copies only."""
+        if is_primary():
+            logging.info("(Epoch: %d) Start evaluation.", self.epoch)
         self.total_eval_loss = defaultdict(float)
         num_batches = max(1, len(self.valid_loader))
         rand_idx = self.eval_rng.randint(0, num_batches)
         for idx, batch in enumerate(self.valid_loader):
             self.eval_step(batch)
-            if idx == rand_idx:
+            if idx == rand_idx and is_primary():
                 self.generate_and_save_intermediate_result(batch)
         for key in list(self.total_eval_loss.keys()):
             self.total_eval_loss[key] = float(self.total_eval_loss[key]) / num_batches
-            logging.info("(Steps: %d) %s = %.4f.", self.steps, key,
-                         self.total_eval_loss[key])
+            if is_primary():
+                logging.info("(Steps: %d) %s = %.4f.", self.steps, key,
+                             self.total_eval_loss[key])
         self.write_to_tensorboard(self.total_eval_loss)
-        logging.info("Epoch %d evaluation finished", self.epoch)
+        if is_primary():
+            logging.info("Epoch %d evaluation finished", self.epoch)
 
     # --------------------------------------------------- subclass interface
 
@@ -309,6 +354,8 @@ class SambertTrainer(Trainer):
         L0_mel = int(batch["valid_output_lengths"][0])
         np.save(os.path.join(out_dir, "coarse_mel.npy"),
                 np.asarray(res["dec_outputs"])[0, :L0_mel])
+        np.save(os.path.join(out_dir, "output_mel.npy"),
+                np.asarray(res["postnet_outputs"])[0, :L0_mel])
         np.save(os.path.join(out_dir, "target_mel.npy"),
                 np.asarray(batch["mel_targets"])[0, :L0_mel])
 
@@ -382,7 +429,10 @@ class GanTrainer(Trainer):
         """Render reference vs generated wavs + waveform pngs
         (reference trainer.py:334-385)."""
         wav, mel = batch
-        _, y_gen = self.eval_step_fn(self.state, jnp.asarray(wav),
+        # host-local state copy: this runs on the primary process only, so it
+        # must not touch globally-sharded arrays (all-process participation)
+        local_state = _unreplicate(self.state)
+        _, y_gen = self.eval_step_fn(local_state, jnp.asarray(wav),
                                      jnp.asarray(mel), self.next_rng())
         out_dir = os.path.join(self.save_dir,
                                f"intermediate_results_{self.steps}")

@@ -225,3 +225,56 @@ def convert_hifigan_generator(sd: Dict[str, np.ndarray], cfg: Dict[str, Any]
         for i in range(n_up):
             _wnconv(tree, f"source_downs_{i}", sd, f"source_downs.{i}.conv1d")
     return tree
+
+
+def _wnconv_raw(tree, prefix, sd, torch_prefix, ndim=3):
+    """Weight-normed conv whose torch module is the bare nn.ConvNd (the
+    discriminators wrap convs directly, reference hifigan.py:218-246,328-396).
+    torch conv2d weight (out, in, kh, kw) -> ours (kh, kw, in, out)."""
+    perm = {3: (2, 1, 0), 4: (2, 3, 1, 0)}[ndim]
+    _set(tree, f"{prefix}/kernel_v",
+         sd[f"{torch_prefix}.weight_v"].transpose(*perm))
+    _set(tree, f"{prefix}/kernel_g",
+         sd[f"{torch_prefix}.weight_g"].reshape(-1))
+    if f"{torch_prefix}.bias" in sd:
+        _set(tree, f"{prefix}/bias", sd[f"{torch_prefix}.bias"])
+
+
+def convert_mpd(sd: Dict[str, np.ndarray], periods, n_downs=5
+                ) -> Dict[str, Any]:
+    """Reference MultiPeriodDiscriminator state dict -> param tree
+    (reference hifigan.py:200-302; conv_post is a PLAIN conv there)."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    tree: Dict[str, Any] = {}
+    for i in range(len(periods)):
+        t = f"discriminators.{i}"
+        for j in range(n_downs):
+            _wnconv_raw(tree, f"discriminators_{i}/convs_{j}", sd,
+                        f"{t}.convs.{j}.0", ndim=4)
+        _set(tree, f"discriminators_{i}/conv_post/kernel_v",
+             sd[f"{t}.conv_post.weight"].transpose(2, 3, 1, 0))
+        _set(tree, f"discriminators_{i}/conv_post/bias",
+             sd[f"{t}.conv_post.bias"])
+    return tree
+
+
+def convert_msd(sd: Dict[str, np.ndarray], scales=3, n_downs=5,
+                has_dwt_aux=False) -> Dict[str, Any]:
+    """Reference MultiScaleDiscriminator state dict -> param tree
+    (reference hifigan.py:305-478). Weight-norm layout only
+    (follow_official_norm=False — spectral-norm power-iteration state is not
+    convertible 1:1)."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    tree: Dict[str, Any] = {}
+    for i in range(scales):
+        t = f"discriminators.{i}"
+        # convs: first + n_downs downsample + final k2 conv
+        for j in range(n_downs + 2):
+            _wnconv_raw(tree, f"discriminators_{i}/convs_{j}", sd,
+                        f"{t}.convs.{j}.0", ndim=3)
+        _wnconv_raw(tree, f"discriminators_{i}/conv_post", sd,
+                    f"{t}.conv_post", ndim=3)
+    if has_dwt_aux:
+        for i in range(scales - 1):
+            _wnconv_raw(tree, f"aux_convs_{i}", sd, f"aux_convs.{i}", ndim=3)
+    return tree

@@ -1,0 +1,91 @@
+"""Checkpoint durability: atomic writes (crash mid-save never corrupts the
+newest checkpoint — which the crash-time handler depends on) and keep-last-k
+retention. Reference saves directly to the final path
+(/root/reference/kantts/train/trainer.py:1007-1021) and keeps everything."""
+
+import os
+
+import numpy as np
+import pytest
+
+from kantts_tpu.train import trainer as trainer_mod
+from kantts_tpu.train.trainer import (
+    load_checkpoint_bytes,
+    prune_checkpoints,
+    save_checkpoint_bytes,
+)
+
+
+def _tree(value):
+    return {"model": {"w": np.full((4, 4), value, dtype=np.float32)},
+            "steps": int(value)}
+
+
+def test_checkpoint_roundtrip_and_no_tmp_residue(tmp_path):
+    path = str(tmp_path / "ckpt" / "checkpoint_10.ckpt")
+    save_checkpoint_bytes(_tree(1.0), path)
+    loaded = load_checkpoint_bytes(_tree(0.0), path)
+    np.testing.assert_array_equal(loaded["model"]["w"], _tree(1.0)["model"]["w"])
+    assert loaded["steps"] == 1
+    assert os.listdir(os.path.dirname(path)) == ["checkpoint_10.ckpt"]
+
+
+def test_crash_during_save_leaves_previous_checkpoint(tmp_path, monkeypatch):
+    path = str(tmp_path / "checkpoint_10.ckpt")
+    save_checkpoint_bytes(_tree(1.0), path)
+
+    # crash while the temp file is being written: the final path is untouched
+    real_open = open
+
+    def exploding_open(fname, *a, **kw):
+        f = real_open(fname, *a, **kw)
+        if str(fname).endswith(".tmp"):
+            class _Boom:
+                def __enter__(self):
+                    return self
+
+                def __exit__(self, *exc):
+                    f.close()
+                    return False
+
+                def write(self, data):
+                    f.write(data[: len(data) // 2])
+                    raise OSError("disk full")
+
+            return _Boom()
+        return f
+
+    monkeypatch.setattr("builtins.open", exploding_open)
+    with pytest.raises(OSError):
+        save_checkpoint_bytes(_tree(2.0), path)
+    monkeypatch.undo()
+
+    loaded = load_checkpoint_bytes(_tree(0.0), path)
+    np.testing.assert_array_equal(loaded["model"]["w"], _tree(1.0)["model"]["w"])
+
+
+def test_crash_during_rename_leaves_previous_checkpoint(tmp_path, monkeypatch):
+    path = str(tmp_path / "checkpoint_10.ckpt")
+    save_checkpoint_bytes(_tree(1.0), path)
+    monkeypatch.setattr(trainer_mod.os, "replace",
+                        lambda *a: (_ for _ in ()).throw(OSError("boom")))
+    with pytest.raises(OSError):
+        save_checkpoint_bytes(_tree(2.0), path)
+    monkeypatch.undo()
+    loaded = load_checkpoint_bytes(_tree(0.0), path)
+    np.testing.assert_array_equal(loaded["model"]["w"], _tree(1.0)["model"]["w"])
+
+
+def test_prune_checkpoints_keeps_last_k(tmp_path):
+    ckpt_dir = str(tmp_path)
+    for steps in (100, 20, 300, 40, 500):
+        save_checkpoint_bytes(_tree(steps), os.path.join(
+            ckpt_dir, f"checkpoint_{steps}.ckpt"))
+    # non-matching files are never touched
+    (tmp_path / "notes.txt").write_text("keep me")
+    prune_checkpoints(ckpt_dir, keep_last=2)
+    kept = sorted(os.listdir(ckpt_dir))
+    assert kept == ["checkpoint_300.ckpt", "checkpoint_500.ckpt", "notes.txt"]
+    # keep_last=0 disables retention
+    prune_checkpoints(ckpt_dir, keep_last=0)
+    assert sorted(os.listdir(ckpt_dir)) == kept

@@ -134,7 +134,8 @@ def test_bert_masking_semantics(bert_dataset):
     mask_id = lu.mask_id("sy")
     n_masked = n_total = n_changed = 0
     for _ in range(40):
-        ling_data, sy_masked, mask = ds[0]
+        ling_data = ds[0]
+        mask, sy_masked = ds.bert_masking(ling_data)
         orig = np.asarray(ling_data[0])
         assert mask[-1] == 0  # EOS never masked
         # unmasked positions keep the original symbol
@@ -171,6 +172,30 @@ def test_bert_collate_shapes(bert_dataset):
     # valid lengths exclude EOS
     assert (batch["valid_input_lengths"] == len(make_symbols().split()) - 0).all() or \
            (batch["valid_input_lengths"] >= 1).all()
+
+
+def test_bert_threaded_loader_masks_deterministic(tmp_path):
+    """Masks are drawn in collate_fn (coordinator thread, sampler order), so
+    the threaded loader is byte-identical to the synchronous path even though
+    MaskingActor holds one shared RandomState."""
+    root = tmp_path / "bert_corpus"
+    root.mkdir()
+    lines = [f"utt{i:03d}\t{make_symbols()}" for i in range(12)]
+    meta = root / "bert_train.lst"
+    meta.write_text("\n".join(lines) + "\n")
+
+    def batches(num_workers):
+        ds = BERTTextDataset(_bert_config(), str(meta), str(root))
+        ds.masking_actor.rng = np.random.RandomState(7)
+        loader = DataLoader(ds, batch_size=4, shuffle=True, seed=5,
+                            num_workers=num_workers)
+        return list(loader)
+
+    sync, threaded = batches(0), batches(4)
+    assert len(sync) == len(threaded) == 3
+    for a, b in zip(sync, threaded):
+        for key in a:
+            np.testing.assert_array_equal(a[key], b[key])
 
 
 # ----------------------------------------------------------- FpProcessor

@@ -286,6 +286,33 @@ def test_text_to_wav_raw_pinyin(trained_sambert, trained_hifigan, tmp_path):
     assert sr == SR and np.isfinite(wav).all() and len(wav) > 0
 
 
+def test_text_to_wav_hanzi_lexicon(trained_sambert, trained_hifigan, tmp_path):
+    """Raw HANZI through --frontend lexicon:readings.tsv — the user-lexicon
+    replacement for the reference's closed-source ttsfrd hanzi path
+    (reference text_to_wav.py:97-107)."""
+    from kantts_tpu.bin.text_to_wav import text_to_wav
+
+    _, am_ckpt = trained_sambert
+    _, voc_ckpt = trained_hifigan
+
+    lexicon = tmp_path / "readings.tsv"
+    lexicon.write_text(
+        "你\tni3\n好\thao3\n你好\tni3hao3\n世\tshi4\n界\tjie4\n"
+        "世界\tshi4jie4\n吗\tma5\n", encoding="utf-8")
+    txt = tmp_path / "hanzi.txt"
+    txt.write_text("你好吗。 世界\n", encoding="utf-8")
+    out_dir = tmp_path / "tts_hanzi_out"
+    text_to_wav(str(out_dir), am_ckpt, voc_ckpt, text_file=str(txt),
+                frontend=f"lexicon:{lexicon}")
+
+    res = glob.glob(str(out_dir / "res_wavs" / "*.wav"))
+    assert len(res) == 1
+    from kantts_tpu.utils.audio import read_wav
+
+    sr, wav = read_wav(res[0])
+    assert sr == SR and np.isfinite(wav).all() and len(wav) > 0
+
+
 def test_stream_tts(trained_sambert, trained_hifigan, tmp_path):
     """Streaming pipeline: chunks are sample-exact vs whole-utterance
     synthesis, first-chunk latency is reported."""

@@ -140,6 +140,137 @@ def test_gan_step_warmup_gates():
     np.testing.assert_array_equal(d0, np.asarray(d1))
 
 
+def test_gan_train_step_multiband():
+    """Multiband path (out_channels=4 + PQMF + subband_stft_loss) in the
+    jitted GAN step: finite losses, and the reference's 0.5/0.5 re-weighting
+    (full-band stft halved, sub-band added at 0.5 — reference
+    trainer.py:484-511) holds exactly in the reported metrics."""
+    from kantts_tpu.models.pqmf import PQMF
+
+    rng = np.random.RandomState(0)
+    B, frames, subbands = 2, 8, 4
+    hop_sub = 16  # generator upsampling (4*4): sub-band samples per frame
+    mel = jnp.asarray(rng.randn(B, frames, 20).astype(np.float32))
+    wav = jnp.asarray(
+        0.3 * rng.randn(B, frames * hop_sub * subbands, 1).astype(np.float32))
+
+    gen = Generator(**{**GEN_CFG, "out_channels": subbands}, causal=True)
+    _, discs = build_gan()
+    pqmf = PQMF(subbands=subbands)
+    stft_params = {"fft_sizes": [64, 128], "hop_sizes": [16, 32],
+                   "win_lengths": [32, 64], "window": "hann_window"}
+    criterion = criterion_builder({
+        "Loss": {
+            **LOSS_CFG["Loss"],
+            "stft_loss": {"enable": True, "params": dict(stft_params),
+                          "weights": 0.5},
+            "subband_stft_loss": {"enable": True, "params": dict(stft_params),
+                                  "weights": 0.5},
+        }
+    })
+    gen_params = gen.init(jax.random.PRNGKey(0), mel)["params"]
+    disc_params, spectral = {}, {}
+    for i, (name, d) in enumerate(discs.items()):
+        variables = d.init(jax.random.PRNGKey(i + 1), wav)
+        disc_params[name] = variables["params"]
+        spectral[name] = variables.get("spectral", {})
+    opt_cfg = {"type": "Adam", "params": {"lr": 2e-4, "betas": [0.5, 0.9]}}
+    gen_tx, _ = optimizer_builder(opt_cfg, None)
+    disc_txs = {n: optimizer_builder(opt_cfg, None)[0] for n in discs}
+    state = GanTrainState(
+        gen_params, gen_tx.init(gen_params),
+        disc_params, {n: disc_txs[n].init(disc_params[n]) for n in discs},
+        spectral, jnp.asarray(0, dtype=jnp.int32),
+    )
+    step_fn = make_gan_step(gen, discs, criterion, gen_tx, disc_txs, pqmf=pqmf,
+                            train_generator=True, include_adversarial=True)
+    g0 = np.asarray(jax.tree_util.tree_leaves(state.gen_params)[0]).copy()
+    state2, metrics = step_fn(state, wav, mel, jax.random.PRNGKey(7))
+
+    for k in ["generator_loss", "mel_loss", "adversarial_loss",
+              "feature_matching_loss", "discriminator_loss",
+              "spectral_convergence_loss", "log_stft_magnitude_loss",
+              "sub_spectral_convergence_loss", "sub_log_stft_magnitude_loss"]:
+        assert np.isfinite(float(metrics[k])), k
+    # the re-weighting identity from the reported parts
+    expected = (
+        0.5 * (float(metrics["spectral_convergence_loss"])
+               + float(metrics["log_stft_magnitude_loss"]))
+        * criterion["stft_loss"].weights
+        + 0.5 * (float(metrics["sub_spectral_convergence_loss"])
+                 + float(metrics["sub_log_stft_magnitude_loss"]))
+        + float(metrics["mel_loss"]) * criterion["mel_loss"].weights
+        + float(metrics["adversarial_loss"])
+        * criterion["generator_adv_loss"].weights
+        + float(metrics["feature_matching_loss"])
+        * criterion["feat_match_loss"].weights
+    )
+    np.testing.assert_allclose(float(metrics["generator_loss"]), expected,
+                               rtol=1e-5)
+    g1 = np.asarray(jax.tree_util.tree_leaves(state2.gen_params)[0])
+    assert not np.array_equal(g0, g1)
+
+
+def test_duration_head_bias_init_trains_on_short_durations():
+    """With the reference-faithful zero bias init, relu(fc) starts (near-)
+    saturated on short-duration corpora — under torch's init it is exactly
+    dead (dur_loss pinned at log 2; documented footgun, reference
+    adaptors.py:60-83, PERFORMANCE.md), under ours partially so.
+    ``dur_pred_bias_init: 1.0`` starts the head in the active regime; this
+    guards that the flag exists, is honored, and measurably accelerates
+    duration training on an all-durations=1 batch."""
+    rng = np.random.RandomState(0)
+    B, T_in = 2, 12
+    T_mel = T_in  # durations all 1
+    batch = {
+        "input_lings": jnp.asarray(rng.randint(0, 5, (B, T_in, 4)), dtype=jnp.int32),
+        "input_emotions": jnp.asarray(rng.randint(0, 4, (B, T_in)), dtype=jnp.int32),
+        "input_speakers": jnp.asarray(rng.randint(0, 2, (B, T_in)), dtype=jnp.int32),
+        "valid_input_lengths": jnp.asarray([T_in, T_in]),
+        "valid_output_lengths": jnp.asarray([T_mel, T_mel]),
+        "mel_targets": jnp.asarray(rng.randn(B, T_mel, 10).astype(np.float32)),
+        "pitch_contours": jnp.asarray(np.abs(rng.randn(B, T_in)).astype(np.float32)),
+        "energy_contours": jnp.asarray(np.abs(rng.randn(B, T_in)).astype(np.float32)),
+        "durations": jnp.ones((B, T_in), dtype=jnp.float32),
+    }
+    criterion = criterion_builder({
+        "Loss": {"MelReconLoss": {"enable": True, "params": {"loss_type": "mae"}},
+                 "ProsodyReconLoss": {"enable": True, "params": {"loss_type": "mae"}}}
+    })
+
+    def run(bias_init, n_steps=30):
+        model = KanTtsSAMBERT({**TINY, "dur_pred_bias_init": bias_init})
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            batch["input_lings"], batch["input_emotions"],
+            batch["input_speakers"], batch["valid_input_lengths"],
+            batch["valid_output_lengths"], batch["mel_targets"],
+            duration_targets=batch["durations"],
+            pitch_targets=batch["pitch_contours"],
+            energy_targets=batch["energy_contours"], deterministic=False,
+        )
+        tx, _ = optimizer_builder(
+            {"type": "Adam", "params": {"lr": 1e-3}}, None)
+        state = TrainState(variables["params"], tx.init(variables["params"]),
+                           jnp.asarray(0, dtype=jnp.int32))
+        step_fn = make_sambert_step(model, criterion, tx, with_mas=False,
+                                    fp_enable=False)
+        dur_losses = []
+        for i in range(n_steps):
+            state, metrics = step_fn(state, batch, jax.random.PRNGKey(i), 0)
+            dur_losses.append(float(metrics["dur_loss"]))
+        return dur_losses
+
+    dead = run(0.0)
+    alive = run(1.0)
+    # zero init starts at the saturated plateau (prediction 0 everywhere the
+    # relu is off -> loss ~= log(1+1))
+    assert abs(dead[0] - np.log(2.0)) < 0.01
+    # positive init trains the head markedly further in the same steps
+    assert alive[-1] < alive[0] * 0.8
+    assert alive[-1] < dead[-1] * 0.75, (alive[-1], dead[-1])
+
+
 def test_sambert_train_step_decreases_loss():
     from tests.test_sambert import train_batch  # fixture function, build inline
 

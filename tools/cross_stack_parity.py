@@ -7,8 +7,15 @@ BASELINE.json metric ("MCD and mel-loss parity vs the PyTorch reference").
 Training semantics matched: /root/reference/kantts/train/trainer.py:898-1005
 (one Adam, total = mel(dec)+mel(postnet)+dur+pitch+energy, grad-norm clip).
 
-Run (CPU): JAX_PLATFORMS=cpu python tools/cross_stack_parity.py [steps]
-Writes cross_stack_parity.json next to this file and prints a markdown table.
+``--mas`` switches to the MAS configuration (the reference's modern flagship,
+sambert_16k_MAS.yaml): no duration targets, frame-level prosody targets,
+shared beta-binomial attention prior; the torch side runs the reference's
+Viterbi binarization (alignment.py:32-71, numba stubbed to pure python) and
+the CTC+KL alignment losses (trainer.py:971-984), the JAX side the in-graph
+scan kernel. Adds a hard-duration (alignment) agreement metric.
+
+Run (CPU): JAX_PLATFORMS=cpu python tools/cross_stack_parity.py [steps] [--mas]
+Writes cross_stack_parity{_mas}.json next to this file and prints a table.
 """
 
 import json
@@ -21,6 +28,12 @@ sys.path.insert(0, REPO)
 import numpy as np
 
 from tests.test_torch_parity import TINY_CFG, _install_stubs
+
+MAS = "--mas" in sys.argv
+CFG = dict(TINY_CFG, MAS=True) if MAS else TINY_CFG
+# KL warmup: both stacks use epoch=10 with warmup_epoch=10 -> full weight
+KL_EPOCH, KL_WARMUP = 10, 10
+
 
 def _argv_steps(default=300):
     try:
@@ -40,9 +53,10 @@ NUM_MELS = TINY_CFG["num_mels"]
 LR = 1e-3
 
 
-def make_corpus():
+def make_corpus(mas=None):
     """Deterministic structured mel targets (smooth per-utterance patterns,
     so MCD is meaningful) + durations/pitch/energy."""
+    mas = MAS if mas is None else mas
     rng = np.random.RandomState(0)
     t = np.arange(T_MEL)[:, None] / T_MEL
     m = np.arange(NUM_MELS)[None, :] / NUM_MELS
@@ -53,7 +67,7 @@ def make_corpus():
     ]).astype(np.float32)
     dur = np.full((B, T_IN), T_MEL // T_IN, dtype=np.int64)
     dur[:, -1] += T_MEL - dur[0].sum()
-    return {
+    batch = {
         "input_lings": rng.randint(0, 5, (B, T_IN, 4)).astype(np.int64),
         "input_emotions": rng.randint(0, 4, (B, T_IN)).astype(np.int64),
         "input_speakers": rng.randint(0, 2, (B, T_IN)).astype(np.int64),
@@ -64,15 +78,56 @@ def make_corpus():
         "pitch_contours": np.abs(rng.randn(B, T_IN)).astype(np.float32),
         "energy_contours": np.abs(rng.randn(B, T_IN)).astype(np.float32),
     }
+    if mas:
+        # MAS data contract (reference dataset.py:498-520): frame-level
+        # prosody, beta-binomial prior over the FULL phone count (incl. EOS),
+        # no duration targets; valid_input_lengths excludes the EOS slot
+        # (dataset.py:781-783) so MAS can stash mel padding there
+        from kantts_tpu.data.dataset import beta_binomial_prior_distribution
+
+        batch["valid_input_lengths"] = np.asarray([T_IN - 1] * B,
+                                                  dtype=np.int64)
+        batch["durations"] = None
+        batch["pitch_contours"] = np.abs(rng.randn(B, T_MEL)).astype(np.float32)
+        batch["energy_contours"] = np.abs(rng.randn(B, T_MEL)).astype(np.float32)
+        prior = np.asarray(beta_binomial_prior_distribution(T_IN, T_MEL),
+                           dtype=np.float32)
+        batch["attn_priors"] = np.broadcast_to(prior, (B,) + prior.shape).copy()
+    return batch
 
 
-def train_torch(batch, n_steps):
+def train_torch(batch, n_steps, mas=None):
+    mas = MAS if mas is None else mas
+    cfg = dict(TINY_CFG, MAS=True) if mas else TINY_CFG
     import torch
     from kantts.models.sambert.kantts_sambert import KanTtsSAMBERT as TorchSambert
-    from kantts.train.loss import MelReconLoss, ProsodyReconLoss
+    from kantts.train.loss import (
+        AttentionBinarizationLoss,
+        AttentionCTCLoss,
+        MelReconLoss,
+        ProsodyReconLoss,
+    )
 
     torch.manual_seed(0)
-    model = TorchSambert(TINY_CFG)
+    model = TorchSambert(cfg)
+    if mas:
+        # the reference's binarize_attention_parallel ends with
+        # .to(attn.get_device()), which is CUDA-only (get_device() == -1 on
+        # CPU, kantts_sambert.py:764); rebind the same computation minus the
+        # device move so the reference's numba Viterbi runs on CPU here
+        import types as _types
+
+        from kantts.models.sambert.alignment import b_mas
+
+        def _binarize_cpu(self, attn, in_lens, out_lens):
+            with torch.no_grad():
+                attn_cpu = attn.data.cpu().numpy()
+                attn_out = b_mas(attn_cpu, in_lens.cpu().numpy(),
+                                 out_lens.cpu().numpy(), width=1)
+            return torch.from_numpy(attn_out)
+
+        model.binarize_attention_parallel = _types.MethodType(
+            _binarize_cpu, model)
     # Dead-ReLU guard for the tiny fixed corpus: at the default init the
     # duration head's relu(fc(.)) is 0 for every input, so no gradient ever
     # reaches it (dur_loss stays exactly log(dur+1)) and free-running decode
@@ -88,20 +143,29 @@ def train_torch(batch, n_steps):
     opt = torch.optim.Adam(model.parameters(), lr=LR, betas=(0.9, 0.98),
                            eps=1e-9)
     mel_crit, pros_crit = MelReconLoss("mae"), ProsodyReconLoss("mae")
+    if mas:
+        ctc_crit = AttentionCTCLoss()
+        kl_crit = AttentionBinarizationLoss(start_epoch=0,
+                                            warmup_epoch=KL_WARMUP)
 
-    tb = {k: torch.from_numpy(v) for k, v in batch.items()}
-    traj = {}
-    for step in range(1, n_steps + 1):
-        opt.zero_grad()
-        res = model(
+    tb = {k: torch.from_numpy(v) for k, v in batch.items() if v is not None}
+
+    def fwd():
+        return model(
             tb["input_lings"], tb["input_emotions"], tb["input_speakers"],
             tb["valid_input_lengths"],
             output_lengths=tb["valid_output_lengths"],
             mel_targets=tb["mel_targets"],
-            duration_targets=tb["durations"],
+            duration_targets=tb.get("durations"),
             pitch_targets=tb["pitch_contours"],
             energy_targets=tb["energy_contours"],
+            attn_priors=tb.get("attn_priors"),
         )
+
+    traj = {}
+    for step in range(1, n_steps + 1):
+        opt.zero_grad()
+        res = fwd()
         mel_loss_, mel_loss = mel_crit(tb["valid_output_lengths"],
                                        tb["mel_targets"], res["dec_outputs"],
                                        res["postnet_outputs"])
@@ -112,26 +176,27 @@ def train_torch(batch, n_steps):
             res["energy_predictions"],
         )
         total = mel_loss_ + mel_loss + dur_l + pitch_l + energy_l
+        row = {"mel_loss": float(mel_loss.detach()),
+               "dur_loss": float(dur_l.detach())}
+        if mas:
+            ctc_l = ctc_crit(res["attn_logprob"], tb["valid_input_lengths"],
+                             tb["valid_output_lengths"])
+            kl_l = kl_crit(KL_EPOCH, res["attn_hard"], res["attn_soft"])
+            total = total + ctc_l + kl_l
+            row["attn_ctc_loss"] = float(ctc_l.detach())
+            row["attn_kl_loss"] = float(kl_l.detach())
         total.backward()
         torch.nn.utils.clip_grad_norm_(model.parameters(), 1.0)
         opt.step()
         if step % LOG_EVERY == 0 or step == 1:
-            traj[step] = {"TotalLoss": float(total),
-                          "mel_loss": float(mel_loss),
-                          "dur_loss": float(dur_l)}
+            traj[step] = {"TotalLoss": float(total.detach()), **row}
 
     model.eval()
     with torch.no_grad():
-        res = model(
-            tb["input_lings"], tb["input_emotions"], tb["input_speakers"],
-            tb["valid_input_lengths"],
-            output_lengths=tb["valid_output_lengths"],
-            mel_targets=tb["mel_targets"],
-            duration_targets=tb["durations"],
-            pitch_targets=tb["pitch_contours"],
-            energy_targets=tb["energy_contours"],
-        )
+        res = fwd()
         post_tf = res["postnet_outputs"].numpy()
+        mas_durations = (res["duration_targets"].numpy().astype(np.float64)
+                         if mas else None)
         try:
             # one utterance at a time: the reference's incremental PNCA
             # decode is only exercised at B=1 in-tree (text_to_wav) and its
@@ -147,10 +212,12 @@ def train_torch(batch, n_steps):
         except (ValueError, RuntimeError):
             # degenerate (near-zero) predicted durations -> empty decode
             post_free = None
-    return sd0, traj, post_tf, post_free
+    return sd0, traj, post_tf, post_free, mas_durations
 
 
-def train_jax(batch, sd0, n_steps):
+def train_jax(batch, sd0, n_steps, mas=None):
+    mas = MAS if mas is None else mas
+    cfg = dict(TINY_CFG, MAS=True) if mas else TINY_CFG
     import jax
     import jax.numpy as jnp
 
@@ -161,12 +228,18 @@ def train_jax(batch, sd0, n_steps):
     from kantts_tpu.train.steps import make_sambert_step
     from kantts_tpu.utils.torch_convert import convert_sambert
 
-    model = KanTtsSAMBERT(TINY_CFG)
-    params = convert_sambert(sd0, TINY_CFG)
-    crit = criterion_builder({
-        "Loss": {"MelReconLoss": {"enable": True, "params": {"loss_type": "mae"}},
-                 "ProsodyReconLoss": {"enable": True, "params": {"loss_type": "mae"}}}
-    })
+    model = KanTtsSAMBERT(cfg)
+    params = convert_sambert(sd0, cfg)
+    loss_cfg = {
+        "MelReconLoss": {"enable": True, "params": {"loss_type": "mae"}},
+        "ProsodyReconLoss": {"enable": True, "params": {"loss_type": "mae"}},
+    }
+    if mas:
+        loss_cfg["AttentionCTCLoss"] = {"enable": True}
+        loss_cfg["AttentionBinarizationLoss"] = {
+            "enable": True,
+            "params": {"start_epoch": 0, "warmup_epoch": KL_WARMUP}}
+    crit = criterion_builder({"Loss": loss_cfg})
     tx, _ = optimizer_builder(
         {"type": "Adam", "params": {"lr": LR, "betas": [0.9, 0.98], "eps": 1e-9}},
         None, grad_norm=1.0,
@@ -178,41 +251,48 @@ def train_jax(batch, sd0, n_steps):
         "valid_input_lengths": jnp.asarray(batch["valid_input_lengths"]),
         "valid_output_lengths": jnp.asarray(batch["valid_output_lengths"]),
         "mel_targets": jnp.asarray(batch["mel_targets"]),
-        "durations": jnp.asarray(batch["durations"].astype(np.float32)),
         "pitch_contours": jnp.asarray(batch["pitch_contours"]),
         "energy_contours": jnp.asarray(batch["energy_contours"]),
     }
+    if batch.get("durations") is not None:
+        jb["durations"] = jnp.asarray(batch["durations"].astype(np.float32))
+    if batch.get("attn_priors") is not None:
+        jb["attn_priors"] = jnp.asarray(batch["attn_priors"])
     state = TrainState(params, tx.init(params), jnp.asarray(0, dtype=jnp.int32))
-    step_fn = make_sambert_step(model, crit, tx, with_mas=False,
+    step_fn = make_sambert_step(model, crit, tx, with_mas=mas,
                                 fp_enable=False)
     traj = {}
     for step in range(1, n_steps + 1):
         state, metrics = step_fn(state, jb, jax.random.PRNGKey(step),
-                                 jnp.asarray(0))
+                                 jnp.asarray(KL_EPOCH))
         if step % LOG_EVERY == 0 or step == 1:
-            total = sum(float(metrics[k]) for k in
-                        ("mel_loss_", "mel_loss", "dur_loss", "pitch_loss",
-                         "energy_loss"))
-            traj[step] = {"TotalLoss": total,
+            traj[step] = {"TotalLoss": float(metrics["TotalLoss"]),
                           "mel_loss": float(metrics["mel_loss"]),
                           "dur_loss": float(metrics["dur_loss"])}
+            if mas:
+                traj[step]["attn_ctc_loss"] = float(metrics["attn_ctc_loss"])
+                traj[step]["attn_kl_loss"] = float(metrics["attn_kl_loss"])
 
     variables = {"params": state.params}
     res = model.apply(
         variables, jb["input_lings"], jb["input_emotions"],
         jb["input_speakers"], jb["valid_input_lengths"],
         jb["valid_output_lengths"], jb["mel_targets"],
-        duration_targets=jb["durations"], pitch_targets=jb["pitch_contours"],
-        energy_targets=jb["energy_contours"], deterministic=True,
+        duration_targets=jb.get("durations"),
+        pitch_targets=jb["pitch_contours"],
+        energy_targets=jb["energy_contours"],
+        attn_priors=jb.get("attn_priors"), deterministic=True,
     )
     post_tf = np.asarray(res["postnet_outputs"])
+    mas_durations = (np.asarray(res["duration_targets"]).astype(np.float64)
+                     if mas else None)
     infer = jax.jit(lambda v, l, e, s, ln: sambert_infer(
         model, v, l, e, s, ln, max_output_len=T_MEL * 4))(
         variables, jb["input_lings"], jb["input_emotions"],
         jb["input_speakers"], jb["valid_input_lengths"])
     post_free = np.asarray(infer["postnet_outputs"])
     free_len = np.asarray(infer["LR_length_rounded"]).astype(int)
-    return traj, post_tf, post_free, free_len
+    return traj, post_tf, post_free, free_len, mas_durations
 
 
 def main():
@@ -220,10 +300,12 @@ def main():
     from kantts_tpu.utils.metrics import mel_cepstral_distortion
 
     batch = make_corpus()
-    print(f"training both stacks for {N_STEPS} steps (B={B}, identical init, "
-          f"Adam lr={LR}, grad clip 1.0) ...")
-    sd0, traj_t, post_tf_t, post_free_t = train_torch(batch, N_STEPS)
-    traj_j, post_tf_j, post_free_j, free_len_j = train_jax(batch, sd0, N_STEPS)
+    print(f"training both stacks for {N_STEPS} steps (B={B}, "
+          f"MAS={'on' if MAS else 'off'}, identical init, Adam lr={LR}, "
+          f"grad clip 1.0) ...")
+    sd0, traj_t, post_tf_t, post_free_t, mas_dur_t = train_torch(batch, N_STEPS)
+    (traj_j, post_tf_j, post_free_j, free_len_j,
+     mas_dur_j) = train_jax(batch, sd0, N_STEPS)
 
     rows = []
     for step in sorted(traj_t):
@@ -270,23 +352,35 @@ def main():
     else:
         print("MCD free-running: skipped (reference free-running decode "
               "degenerate at this step count)")
+    dur_l1 = None
+    if MAS:
+        # alignment agreement: hard MAS durations per phone after training
+        dur_l1 = float(np.mean(np.abs(mas_dur_t - mas_dur_j)))
+        exact = float(np.mean(mas_dur_t == mas_dur_j))
+        print(f"MAS hard-duration agreement: L1 {dur_l1:.4f} frames/phone, "
+              f"exact-match {exact * 100:.1f}%")
 
     out = {
         "n_steps": N_STEPS,
+        "mas": MAS,
         "t_in": T_IN,
         "t_mel": T_MEL,
         "trajectory": [
-            {"step": s, "total_torch": tt, "total_jax": tj,
-             "mel_torch": mt, "mel_jax": mj}
-            for s, tt, tj, mt, mj in rows
+            {"step": s,
+             **{f"{k}_torch": v for k, v in traj_t[s].items()},
+             **{f"{k}_jax": v for k, v in traj_j[s].items()}}
+            for s in sorted(traj_t)
         ],
         "final_total_rel_diff_pct": abs(final_t - final_j) / final_t * 100,
         "mcd_teacher_forced_cross_stack_db": float(mcd_xstack_tf),
         "mcd_teacher_forced_torch_vs_target_db": float(mcd_t_tgt),
         "mcd_teacher_forced_jax_vs_target_db": float(mcd_j_tgt),
         "mcd_free_running_cross_stack_db": mcd_xstack_free,
+        "mas_hard_duration_l1_frames": dur_l1,
     }
     suffix = "" if (T_IN, T_MEL) == (10, 24) else f"_{T_IN}x{T_MEL}"
+    if MAS:
+        suffix += "_mas"
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         f"cross_stack_parity{suffix}.json")
     with open(path, "w") as f:
