@@ -57,6 +57,57 @@ def save_checkpoint_bytes(tree: Any, path: str) -> None:
     os.replace(tmp_path, path)
 
 
+class AsyncCheckpointWriter:
+    """Single background writer thread: serialization + atomic write happen
+    off the train loop, so the 2.5M-step GAN run never blocks on checkpoint
+    IO. Trees handed over must be host-local snapshots (the trainers'
+    ``_unreplicate`` copies), so later param updates cannot race the write.
+    Writes are strictly ordered (one queue, one thread); ``wait()`` drains.
+    A failed write is logged and re-raised on the next save/wait so crashes
+    are not silent."""
+
+    def __init__(self):
+        import queue as _queue
+        import threading as _threading
+
+        self._queue: Any = _queue.Queue()
+        self._error: Any = None
+        self._thread = _threading.Thread(target=self._run, daemon=True,
+                                         name="kantts-ckpt-writer")
+        self._thread.start()
+
+    def _run(self):
+        while True:
+            item = self._queue.get()
+            if item is None:
+                return
+            tree, path, after = item
+            try:
+                save_checkpoint_bytes(tree, path)
+                if after is not None:
+                    after()
+            except BaseException as e:  # surfaced on next save/wait
+                logging.exception("async checkpoint write failed: %s", path)
+                self._error = e
+            finally:
+                self._queue.task_done()
+
+    def _raise_pending(self):
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise err
+
+    def submit(self, tree: Any, path: str, after=None) -> None:
+        """``after``: callback run on the writer thread once the write has
+        landed (e.g. keep-last-k pruning, which must see the new file)."""
+        self._raise_pending()
+        self._queue.put((tree, path, after))
+
+    def wait(self) -> None:
+        self._queue.join()
+        self._raise_pending()
+
+
 def prune_checkpoints(ckpt_dir: str, keep_last: int) -> None:
     """Keep-last-k retention over ``checkpoint_{steps}.ckpt`` files; the
     reference keeps everything (20k-step cadence over 1M+ steps fills disks)."""
@@ -111,6 +162,10 @@ class Trainer:
                        if SummaryWriter and is_primary() else None)
         self.rng = jax.random.PRNGKey(config.get("seed", 0))
         self.eval_rng = np.random.RandomState(config.get("seed", 0))
+        # config: async_checkpoint: true -> serialization+write happen on a
+        # background thread (interval saves only; crash-time saves stay
+        # synchronous so the process cannot exit before the write lands)
+        self._ckpt_writer = None
 
     # ------------------------------------------------------------------ loop
 
@@ -119,6 +174,26 @@ class Trainer:
             self.train_epoch()
             self.epoch += 1
             self.check_stop_training()
+        self.wait_for_checkpoints()
+
+    def wait_for_checkpoints(self):
+        """Drain pending async checkpoint writes (no-op when sync)."""
+        if self._ckpt_writer is not None:
+            self._ckpt_writer.wait()
+
+    def _write_checkpoint(self, tree, path, allow_async=False):
+        def _prune():
+            if is_primary():
+                prune_checkpoints(self.ckpt_dir,
+                                  self.config.get("keep_last_checkpoints", 0))
+
+        if allow_async and self.config.get("async_checkpoint", False):
+            if self._ckpt_writer is None:
+                self._ckpt_writer = AsyncCheckpointWriter()
+            self._ckpt_writer.submit(tree, path, after=_prune)
+        else:
+            save_checkpoint_bytes(tree, path)
+            _prune()
 
     def train_epoch(self):
         for batch in self._lookahead(self.train_loader):
@@ -176,10 +251,10 @@ class Trainer:
     def check_save_interval(self):
         if self.ckpt_dir and self.steps % self.save_interval == 0:
             path = os.path.join(self.ckpt_dir, f"checkpoint_{self.steps}.ckpt")
-            self.save_checkpoint(path)  # all processes gather; primary writes
+            # all processes gather; primary writes (async if configured);
+            # keep-last-k pruning runs after the write lands
+            self.save_checkpoint(path, allow_async=True)
             if is_primary():
-                prune_checkpoints(self.ckpt_dir,
-                                  self.config.get("keep_last_checkpoints", 0))
                 logging.info("Checkpoint saved at step %d", self.steps)
 
     def check_log_interval(self):
@@ -359,13 +434,13 @@ class SambertTrainer(Trainer):
         np.save(os.path.join(out_dir, "target_mel.npy"),
                 np.asarray(batch["mel_targets"])[0, :L0_mel])
 
-    def save_checkpoint(self, path):
+    def save_checkpoint(self, path, allow_async=False):
         tree = {
             "model": _unreplicate(self.state.params),
             "optimizer": _unreplicate(self.state.opt_state),
             "steps": self.steps,
         }
-        save_checkpoint_bytes(tree, path)
+        self._write_checkpoint(tree, path, allow_async)
 
     def load_checkpoint(self, path, restore_training_state=False):
         target = {
@@ -451,7 +526,7 @@ class GanTrainer(Trainer):
             plot_waveform(gen, os.path.join(out_dir, f"{i}_gen.png"),
                           self.sampling_rate)
 
-    def save_checkpoint(self, path):
+    def save_checkpoint(self, path, allow_async=False):
         tree = {
             "model": {
                 "generator": _unreplicate(self.state.gen_params),
@@ -464,7 +539,7 @@ class GanTrainer(Trainer):
             "spectral": _unreplicate(self.state.spectral),
             "steps": self.steps,
         }
-        save_checkpoint_bytes(tree, path)
+        self._write_checkpoint(tree, path, allow_async)
 
     def load_checkpoint(self, path, restore_training_state=False):
         target = {
@@ -521,12 +596,12 @@ class TextsyBertTrainer(Trainer):
         metrics = self.eval_step_fn(self.state, self.maybe_shard(dict(batch)))
         self.accumulate(self.total_eval_loss, metrics, "eval")
 
-    def save_checkpoint(self, path):
-        save_checkpoint_bytes({
+    def save_checkpoint(self, path, allow_async=False):
+        self._write_checkpoint({
             "model": _unreplicate(self.state.params),
             "optimizer": _unreplicate(self.state.opt_state),
             "steps": self.steps,
-        }, path)
+        }, path, allow_async)
 
     def load_checkpoint(self, path, restore_training_state=False):
         target = {"model": self.state.params,

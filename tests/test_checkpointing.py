@@ -10,6 +10,7 @@ import pytest
 
 from kantts_tpu.train import trainer as trainer_mod
 from kantts_tpu.train.trainer import (
+    AsyncCheckpointWriter,
     load_checkpoint_bytes,
     prune_checkpoints,
     save_checkpoint_bytes,
@@ -74,6 +75,35 @@ def test_crash_during_rename_leaves_previous_checkpoint(tmp_path, monkeypatch):
     monkeypatch.undo()
     loaded = load_checkpoint_bytes(_tree(0.0), path)
     np.testing.assert_array_equal(loaded["model"]["w"], _tree(1.0)["model"]["w"])
+
+
+def test_async_writer_ordered_and_loadable(tmp_path):
+    writer = AsyncCheckpointWriter()
+    path = str(tmp_path / "checkpoint_10.ckpt")
+    for v in (1.0, 2.0, 3.0):  # ordered: last submit wins
+        writer.submit(_tree(v), path)
+    writer.submit(_tree(7.0), str(tmp_path / "checkpoint_20.ckpt"))
+    writer.wait()
+    loaded = load_checkpoint_bytes(_tree(0.0), path)
+    np.testing.assert_array_equal(loaded["model"]["w"], _tree(3.0)["model"]["w"])
+    assert loaded["steps"] == 3
+    assert load_checkpoint_bytes(_tree(0.0),
+                                 str(tmp_path / "checkpoint_20.ckpt"))["steps"] == 7
+
+
+def test_async_writer_surfaces_errors(tmp_path):
+    writer = AsyncCheckpointWriter()
+    # unwritable destination: parent is a FILE
+    blocker = tmp_path / "blocker"
+    blocker.write_text("x")
+    writer.submit(_tree(1.0), str(blocker / "checkpoint_1.ckpt"))
+    with pytest.raises(OSError):
+        writer.wait()
+    # writer stays usable after the error
+    ok = str(tmp_path / "checkpoint_2.ckpt")
+    writer.submit(_tree(2.0), ok)
+    writer.wait()
+    assert load_checkpoint_bytes(_tree(0.0), ok)["steps"] == 2
 
 
 def test_prune_checkpoints_keeps_last_k(tmp_path):
