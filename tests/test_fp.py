@@ -4,6 +4,7 @@ splice loop, in-graph application, and FP-mode train/infer forwards."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from kantts_tpu.models.sambert.fp import (
     apply_fp_insertion,
@@ -109,6 +110,7 @@ def _fp_batch(rng, B=2, T_in=8, T_mel=24, L=16):
     return batch, inter
 
 
+@pytest.mark.slow
 def test_fp_train_forward():
     cfg = dict(TINY, FP=True)
     model = KanTtsSAMBERT(cfg)

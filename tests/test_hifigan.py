@@ -34,6 +34,7 @@ def mel():
     return jnp.asarray(rng.randn(2, 20, 80).astype(np.float32))
 
 
+@pytest.mark.slow
 def test_generator_shape_causal(mel):
     gen = Generator(**CFG_16K, causal=True)
     params = gen.init(jax.random.PRNGKey(0), mel)

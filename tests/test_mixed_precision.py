@@ -4,6 +4,7 @@ paths."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import yaml
 
 from kantts_tpu.losses import criterion_builder
@@ -12,6 +13,7 @@ from kantts_tpu.train.steps import make_gan_step, make_sambert_step
 from tests.test_e2e import HIFIGAN_TINY, SAMBERT_TINY
 
 
+@pytest.mark.slow
 def test_mixed_precision_gan_step():
     config = yaml.safe_load(yaml.safe_dump(HIFIGAN_TINY))
     config["mixed_precision"] = True
@@ -59,6 +61,7 @@ def _sambert_batch(rng, B=2, T_in=8, T_mel=24, n_mels=80):
     }
 
 
+@pytest.mark.slow
 def test_mixed_precision_sambert_step():
     config = yaml.safe_load(yaml.safe_dump(SAMBERT_TINY))
     config["mixed_precision"] = True

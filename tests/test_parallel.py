@@ -5,6 +5,7 @@ correctness), mirroring what DDP guarantees in the reference."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from kantts_tpu.losses import criterion_builder
 from kantts_tpu.models.sambert.sambert import KanTtsSAMBERT
@@ -32,6 +33,7 @@ def build_batch(B=8):
     return batch
 
 
+@pytest.mark.slow
 def test_dp_step_matches_single_device():
     assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
     batch = build_batch()

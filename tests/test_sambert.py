@@ -229,6 +229,7 @@ def train_batch():
     return batch
 
 
+@pytest.mark.slow
 def test_sambert_train_forward(train_batch):
     model = KanTtsSAMBERT(TINY)
     variables = model.init(
@@ -309,6 +310,7 @@ def test_decoder_train_infer_equivalence():
     )
 
 
+@pytest.mark.slow
 def test_sambert_infer_end_to_end():
     model = KanTtsSAMBERT(TINY)
     rng = np.random.RandomState(0)

@@ -4,6 +4,7 @@ and decrease over a few steps on a fixed batch."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from kantts_tpu.losses import criterion_builder
 from kantts_tpu.models.hifigan.discriminators import (
@@ -63,6 +64,7 @@ def build_gan():
     return gen, discs
 
 
+@pytest.mark.slow
 def test_gan_train_step():
     rng = np.random.RandomState(0)
     B, frames = 2, 8
@@ -107,6 +109,7 @@ def test_gan_train_step():
     assert float(metrics4["mel_loss"]) < m0 * 1.05
 
 
+@pytest.mark.slow
 def test_gan_step_warmup_gates():
     rng = np.random.RandomState(0)
     mel = jnp.asarray(rng.randn(1, 8, 20).astype(np.float32))
@@ -140,6 +143,7 @@ def test_gan_step_warmup_gates():
     np.testing.assert_array_equal(d0, np.asarray(d1))
 
 
+@pytest.mark.slow
 def test_gan_train_step_multiband():
     """Multiband path (out_channels=4 + PQMF + subband_stft_loss) in the
     jitted GAN step: finite losses, and the reference's 0.5/0.5 re-weighting
@@ -211,6 +215,7 @@ def test_gan_train_step_multiband():
     assert not np.array_equal(g0, g1)
 
 
+@pytest.mark.slow
 def test_duration_head_bias_init_trains_on_short_durations():
     """With the reference-faithful zero bias init, relu(fc) starts (near-)
     saturated on short-duration corpora — under torch's init it is exactly
@@ -271,6 +276,7 @@ def test_duration_head_bias_init_trains_on_short_durations():
     assert alive[-1] < dead[-1] * 0.75, (alive[-1], dead[-1])
 
 
+@pytest.mark.slow
 def test_sambert_train_step_decreases_loss():
     from tests.test_sambert import train_batch  # fixture function, build inline
 
