@@ -14,8 +14,10 @@ models/__init__.py:71-84). The TPU-native equivalent here:
   (reference bin/train_sambert.py:108-122); process 0 handles checkpoint/eval
   (reference rank-0 gating, trainer.py:209-212).
 
-Models at this scale (10-100M params) need no tensor/pipeline parallelism —
-matching the reference's design envelope (SURVEY.md §2.10).
+Models at the reference's scale (10-100M params) train fine with pure DP;
+for scaling beyond it (larger variants, or cutting single-utterance latency
+across a pod slice) parallel/tp.py adds Megatron-style tensor parallelism
+and sequence-parallel vocoder inference on a 2-D ("data", "model") mesh.
 """
 
 from __future__ import annotations

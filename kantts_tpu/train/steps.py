@@ -28,9 +28,16 @@ from kantts_tpu.parallel.mesh import data_sharding, replicated_sharding
 from kantts_tpu.train.states import GanTrainState, TrainState
 
 
-def _jit_step(fn, mesh, n_data_args: int, donate: bool = True):
+def _jit_step(fn, mesh, n_data_args: int, donate: bool = True,
+              state_shardings=None):
     """jit with DP shardings when a mesh is given: arg 0 (state) replicated,
-    the next ``n_data_args`` args batch-sharded, the rest replicated."""
+    the next ``n_data_args`` args batch-sharded, the rest replicated.
+
+    ``state_shardings`` (a NamedSharding pytree matching the state arg, e.g.
+    from parallel.tp.tp_shardings) switches the state to tensor-parallel
+    layout: state in/out sharded over the ``model`` axis, batch still
+    sharded over ``data`` — the same step program becomes a DP x TP SPMD
+    program on a 2-D mesh."""
     donate_argnums = (0,) if donate else ()
     if mesh is None:
         return jax.jit(fn, donate_argnums=donate_argnums)
@@ -39,12 +46,19 @@ def _jit_step(fn, mesh, n_data_args: int, donate: bool = True):
     import inspect
 
     n_args = len(inspect.signature(fn).parameters)
-    in_shardings = [rep] + [dsh] * n_data_args
+    state_in = state_shardings if state_shardings is not None else rep
+    in_shardings = [state_in] + [dsh] * n_data_args
     in_shardings += [rep] * (n_args - len(in_shardings))
+    if state_shardings is not None:
+        # train steps return (state, metrics); eval steps (donate=False,
+        # state untouched) return metrics only
+        out_shardings = (state_shardings, rep) if donate else rep
+    else:
+        out_shardings = rep
     return jax.jit(
         fn, donate_argnums=donate_argnums,
         in_shardings=tuple(in_shardings),
-        out_shardings=rep,
+        out_shardings=out_shardings,
     )
 
 
@@ -57,10 +71,13 @@ def make_sambert_step(
     train: bool = True,
     mesh=None,
     fp_dict_lings=None,
+    state_shardings=None,
 ):
     """Returns jitted fn(state, batch, rng, epoch) -> (state, metrics).
     With ``mesh``, the batch is sharded over the ``data`` axis and state is
-    replicated (single-program DP)."""
+    replicated (single-program DP). With ``state_shardings`` (see
+    parallel.tp), params/optimizer leaves are additionally sharded over the
+    ``model`` axis (DP x TP)."""
 
     def compute_losses(params, batch, rng, epoch, deterministic):
         rngs = {"dropout": rng} if not deterministic else {}
@@ -128,7 +145,8 @@ def make_sambert_step(
             )
             return metrics
 
-        return _jit_step(eval_step, mesh, n_data_args=1, donate=False)
+        return _jit_step(eval_step, mesh, n_data_args=1, donate=False,
+                         state_shardings=state_shardings)
 
     def train_step(state: TrainState, batch, rng, epoch):
         grad_fn = jax.value_and_grad(
@@ -142,7 +160,8 @@ def make_sambert_step(
             metrics,
         )
 
-    return _jit_step(train_step, mesh, n_data_args=1)
+    return _jit_step(train_step, mesh, n_data_args=1,
+                     state_shardings=state_shardings)
 
 
 def make_gan_step(
