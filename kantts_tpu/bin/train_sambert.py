@@ -59,7 +59,19 @@ def train(model_config, root_dir, stage_dir, resume_path=None,
     ling_unit_size = train_dataset.ling_unit.get_unit_size()
     config["Model"]["KanTtsSAMBERT"]["params"].update(ling_unit_size)
 
-    mesh = make_mesh() if data_parallel and len(jax.devices()) > 1 else None
+    # tensor_parallel: N in the config shards attention/FFN kernels over a
+    # ("data", "model") 2-D mesh (parallel/tp.py) — single-controller
+    # multi-chip only; multi-host runs keep pure DP.
+    tp = int(config.get("tensor_parallel", 1))
+    state_shardings = None
+    if (tp > 1 and data_parallel and jax.process_count() == 1
+            and len(jax.devices()) % tp == 0):
+        from kantts_tpu.parallel.tp import make_mesh_2d
+
+        mesh = make_mesh_2d(len(jax.devices()) // tp, tp)
+    else:
+        tp = 1
+        mesh = make_mesh() if data_parallel and len(jax.devices()) > 1 else None
     num_replicas = jax.process_count()
     train_loader = DataLoader(
         train_dataset, config["batch_size"],
@@ -76,7 +88,13 @@ def train(model_config, root_dir, stage_dir, resume_path=None,
 
     built = model_builder(config)
     model, state, tx = built["model"], built["state"], built["tx"]
-    if mesh is not None:
+    if mesh is not None and tp > 1:
+        from kantts_tpu.parallel.tp import shard_state, tp_shardings
+
+        state_shardings = tp_shardings(state, mesh)
+        state = shard_state(state, mesh)
+        logging.info("tensor parallelism: %d-way over the model axis", tp)
+    elif mesh is not None:
         state = replicate(state, mesh)
 
     criterion = criterion_builder(config)
@@ -86,10 +104,12 @@ def train(model_config, root_dir, stage_dir, resume_path=None,
 
     fp_dict_lings = train_dataset.fp_dict_lings if fp_enable else None
     train_step = make_sambert_step(model, criterion, tx, with_mas, fp_enable,
-                                   mesh=mesh, fp_dict_lings=fp_dict_lings)
+                                   mesh=mesh, fp_dict_lings=fp_dict_lings,
+                                   state_shardings=state_shardings)
     eval_step = make_sambert_step(model, criterion, tx, with_mas, fp_enable,
                                   train=False, mesh=mesh,
-                                  fp_dict_lings=fp_dict_lings)
+                                  fp_dict_lings=fp_dict_lings,
+                                  state_shardings=state_shardings)
 
     trainer = SambertTrainer(
         config, model, state, train_step, eval_step, train_loader,
