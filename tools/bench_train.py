@@ -121,6 +121,10 @@ def bench_hifigan():
         train_generator=True, include_adversarial=True,
     )
     state = built["state"]
+    # cost analysis BEFORE any call (the step donates its state argument)
+    from bench import _cost_flops, _mfu_fields
+
+    flops = _cost_flops(step, state, wav, mel, jax.random.PRNGKey(0))
     t0 = time.time()
     state, metrics = step(state, wav, mel, jax.random.PRNGKey(0))
     _ = fetch(metrics["generator_loss"])
@@ -132,8 +136,11 @@ def bench_hifigan():
     _ = fetch(metrics["generator_loss"])
     dt = (time.time() - t0) / n
     audio_s = B * steps_len / 16000
+    dtype_name = ("bfloat16" if os.environ.get("KANTTS_BENCH_MIXED")
+                  else "float32")
     print(f"hifigan GAN step (B={B}, {steps_len} samples): {dt*1000:.1f} ms "
-          f"-> {audio_s/dt:.1f}s audio/s trained, {B/dt:.1f} crops/s")
+          f"-> {audio_s/dt:.1f}s audio/s trained, {B/dt:.1f} crops/s; "
+          f"roofline: {_mfu_fields(flops, dt, dtype_name)}")
 
 
 if __name__ == "__main__":
