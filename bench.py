@@ -91,17 +91,33 @@ def bench_hifigan(dtype_name=None):
     frames = int(os.environ.get("KANTTS_BENCH_FRAMES", "400"))  # 5 s audio
     batch = int(os.environ.get("KANTTS_BENCH_BATCH", "1"))
 
+    # At batch=1, default to the chunked-batch path (infer/chunked.py):
+    # 8 causal-context windows synthesized as one batch — identical waveform,
+    # 1.76x faster than the plain program (tools/bench_chunked.py sweep).
+    # KANTTS_BENCH_CHUNKS=0 restores the plain single-program measurement.
+    chunks = int(os.environ.get("KANTTS_BENCH_CHUNKS",
+                                "8" if batch == 1 else "0"))
+
     gen = _hifigan_16k(dtype=dtype)
     mel = jnp.asarray(
         np.random.RandomState(0).randn(batch, frames, 80).astype(np.float32)
     )
     params = gen.init(jax.random.PRNGKey(0), mel)
 
+    if chunks:
+        from kantts_tpu.infer.chunked import make_chunked_infer
+
+        run = make_chunked_infer(gen, frames, chunks)
+        rng = jax.random.PRNGKey(0)
+        apply_fn = lambda p, m: run(p, m, rng)  # noqa: E731
+    else:
+        apply_fn = lambda p, m: gen.apply(p, m)  # noqa: E731
+
     # each iteration's input depends on the previous output (scalar feedback)
     # so iterations cannot be elided or overlapped — honest serial throughput
     fwd = jax.jit(
         lambda p, m, c: (lambda y: (y, c + jnp.sum(y[:, -1, 0])))(
-            gen.apply(p, m + c * 1e-9)
+            apply_fn(p, m + c * 1e-9)
         )
     )
     carry = jnp.asarray(0.0, dtype=jnp.float32)
@@ -127,6 +143,7 @@ def bench_hifigan(dtype_name=None):
         "unit": "x_realtime_per_chip",
         "vs_baseline": round(xrt / 10.0, 3),
         "dtype": dtype_name,
+        "chunks": chunks,
         **_mfu_fields(_cost_flops(fwd, params, mel, carry),
                       best_dt / n_iter, dtype_name),
     }

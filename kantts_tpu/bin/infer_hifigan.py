@@ -23,6 +23,7 @@ from flax import serialization
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))))
 
+from kantts_tpu.infer.chunked import make_chunked_infer
 from kantts_tpu.models.builder import _tuplify
 from kantts_tpu.models.hifigan.generator import Generator
 from kantts_tpu.models.hifigan.layers import fold_weight_norm
@@ -62,7 +63,7 @@ def load_model(ckpt_path, config=None):
 
 
 def hifigan_infer(input_mel, ckpt_path, output_dir, config=None,
-                  frame_bucket: int = 100):
+                  frame_bucket: int = 100, chunked: int = 0):
     model, variables, pqmf, config = load_model(ckpt_path, config)
     sampling_rate = config["audio_config"]["sampling_rate"]
     nsf_enable = config["Model"]["Generator"]["params"].get("nsf_params") is not None
@@ -76,12 +77,23 @@ def hifigan_infer(input_mel, ckpt_path, output_dir, config=None,
 
     rng = jax.random.PRNGKey(0)
 
-    @jax.jit
-    def synth(mel):
-        y = model.apply(variables, mel, rngs={"noise": rng})
-        if pqmf is not None:
-            y = pqmf.synthesis(y)
-        return y
+    if chunked:
+        # latency-optimized single-utterance path (infer/chunked.py):
+        # exact for the causal non-NSF fullband generator only.
+        if nsf_enable or pqmf is not None or not model.causal:
+            raise SystemExit(
+                "--chunked requires a causal, non-NSF, fullband generator")
+
+        def synth(mel):
+            fn = make_chunked_infer(model, int(mel.shape[1]), chunked)
+            return fn(variables, mel, rng)
+    else:
+        @jax.jit
+        def synth(mel):
+            y = model.apply(variables, mel, rngs={"noise": rng})
+            if pqmf is not None:
+                y = pqmf.synthesis(y)
+            return y
 
     total_audio, total_time = 0.0, 0.0
     for mel_file in mel_files:
@@ -124,8 +136,14 @@ def main():
     parser.add_argument("--input_mel", type=str, required=True,
                         help="directory of mel npys or a list file")
     parser.add_argument("--output_dir", type=str, required=True)
+    parser.add_argument("--chunked", type=int, default=0, metavar="N",
+                        help="split each utterance into N causal-context "
+                             "windows synthesized as one batch — lower "
+                             "latency at identical output (causal non-NSF "
+                             "fullband generators only)")
     args = parser.parse_args()
-    hifigan_infer(args.input_mel, args.ckpt, args.output_dir)
+    hifigan_infer(args.input_mel, args.ckpt, args.output_dir,
+                  chunked=args.chunked)
 
 
 if __name__ == "__main__":

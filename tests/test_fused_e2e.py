@@ -4,6 +4,7 @@ returns one compiled program per (models, max_len)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from kantts_tpu.infer.e2e import make_fused_infer
 from kantts_tpu.models.hifigan.generator import Generator
@@ -33,6 +34,7 @@ def _am_fixtures():
     return model, variables, batch
 
 
+@pytest.mark.slow
 def test_fused_matches_two_program_pipeline():
     am, am_vars, batch = _am_fixtures()
     gen = Generator(

@@ -1,0 +1,81 @@
+"""Sweep chunked-batch vocoder inference (infer/chunked.py) on the chip.
+
+Single 5 s utterance (400 mel frames), hifigan_v1_16k, bf16 — the headline
+bench shape. For each n_chunks the program recomputes ctx=62 frames of
+causal context per window but runs the stack at batch=n_chunks; this sweep
+finds where the batch-occupancy win beats the recompute tax.
+
+Run (one TPU process at a time): python tools/bench_chunked.py
+"""
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import numpy as np
+
+
+def main():
+    import bench
+
+    bench._enable_compile_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _hifigan_16k
+    from kantts_tpu.infer.chunked import make_chunked_infer
+
+    dtype_name = os.environ.get("KANTTS_BENCH_DTYPE", "bfloat16")
+    dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[dtype_name]
+    sample_rate, hop, frames = 16000, 200, 400
+    gen = _hifigan_16k(dtype=dtype)
+    mel = jnp.asarray(
+        np.random.RandomState(0).randn(1, frames, 80).astype(np.float32))
+    params = gen.init(jax.random.PRNGKey(0), mel)
+    rng = jax.random.PRNGKey(0)
+    n_iter = int(os.environ.get("KANTTS_BENCH_ITERS", "50"))
+
+    results = []
+    for n_chunks in (0, 2, 4, 8, 16):
+        if n_chunks == 0:  # plain full program baseline
+            plain = jax.jit(lambda p, m: gen.apply(p, m))
+            fwd = jax.jit(lambda p, m, c: (lambda y: (y, c + jnp.sum(
+                y[:, -1, 0])))(plain(p, m + c * 1e-9)))
+        else:
+            run = make_chunked_infer(gen, frames, n_chunks)
+            fwd = jax.jit(lambda p, m, c, run=run: (lambda y: (y, c + jnp.sum(
+                y[:, -1, 0])))(run(p, m + c * 1e-9, rng)))
+        carry = jnp.asarray(0.0, dtype=jnp.float32)
+        t0 = time.time()
+        y, carry = fwd(params, mel, carry)
+        _ = float(carry)
+        print(f"n_chunks={n_chunks}: compile+first {time.time()-t0:.1f}s, "
+              f"out {y.shape}", file=sys.stderr, flush=True)
+        assert y.shape == (1, frames * hop, 1)
+        best_dt = None
+        for _trial in range(3):
+            t0 = time.perf_counter()
+            for _ in range(n_iter):
+                y, carry = fwd(params, mel, carry)
+            _ = float(carry)
+            dt = time.perf_counter() - t0
+            best_dt = dt if best_dt is None else min(best_dt, dt)
+        per_call = best_dt / n_iter
+        xrt = (frames * hop / sample_rate) / per_call
+        flops = bench._cost_flops(fwd, params, mel, carry)
+        results.append({
+            "n_chunks": n_chunks, "ms_per_utt": round(per_call * 1000, 2),
+            "xrt": round(xrt, 1), "dtype": dtype_name,
+            **bench._mfu_fields(flops, per_call, dtype_name),
+        })
+        print(json.dumps(results[-1]), file=sys.stderr, flush=True)
+
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
