@@ -76,7 +76,7 @@ def concat_process(chunk_wav_dir, output_dir, sampling_rate=None,
 
 def text_to_wav(output_dir, am_ckpt, voc_ckpt, text_file=None,
                 symbols_file=None, frontend=None, speaker="F7", lang="PinYin",
-                se_file=None):
+                se_file=None, chunked=0):
     os.makedirs(output_dir, exist_ok=True)
     symbols_path = os.path.join(output_dir, "symbols.lst")
 
@@ -116,7 +116,7 @@ def text_to_wav(output_dir, am_ckpt, voc_ckpt, text_file=None,
     with open(mel_list, "w") as f:
         for mel in sorted(glob.glob(os.path.join(feat_dir, "*_mel.npy"))):
             f.write(mel + "\n")
-    hifigan_infer(mel_list, voc_ckpt, chunk_dir)
+    hifigan_infer(mel_list, voc_ckpt, chunk_dir, chunked=chunked)
     concat_process(chunk_dir, os.path.join(output_dir, "res_wavs"))
 
 
@@ -135,10 +135,13 @@ def main():
     parser.add_argument("--speaker", type=str, default="F7")
     parser.add_argument("--lang", type=str, default="PinYin")
     parser.add_argument("--se_file", type=str, default=None)
+    parser.add_argument("--chunked", type=int, default=0, metavar="N",
+                        help="chunked-batch vocoder synthesis (see "
+                             "infer_hifigan --chunked)")
     args = parser.parse_args()
     text_to_wav(args.output_dir, args.am_ckpt, args.voc_ckpt, args.txt,
                 args.symbols_file, args.frontend, args.speaker, args.lang,
-                args.se_file)
+                args.se_file, chunked=args.chunked)
 
 
 if __name__ == "__main__":

@@ -55,47 +55,63 @@ def _plan(T: int, n_chunks: int, ctx: int):
     return starts, offsets, chunk, window
 
 
-def make_chunked_infer(generator, T: int, n_chunks: int,
-                       context_frames: Optional[int] = None):
-    """Jitted (variables, mel(B=1,T,C), rng) -> wav(1, T*hop, out_ch),
-    cached per (generator, T, n_chunks) with weakref eviction (same
-    lifetime contract as infer/streaming.py)."""
+def _context_frames(generator, context_frames: Optional[int]) -> int:
     assert generator.causal, "chunked inference requires the causal generator"
     # NSF source phase is a cumsum over the whole utterance and the harmonic
     # noise draw is shape-dependent — per-window recomputation would not
     # match the full program, so this path is for the plain generator only.
     assert generator.nsf_params is None, "chunked inference is non-NSF only"
-    ctx = (causal_receptive_field_frames(
+    if context_frames is not None:
+        return int(context_frames)
+    return causal_receptive_field_frames(
         generator.kernel_size, generator.upsample_scales,
         generator.resblock_kernel_sizes, generator.resblock_dilations)
-        if context_frames is None else int(context_frames))
+
+
+def chunked_apply(generator, variables, mel, rng, n_chunks: int,
+                  context_frames: Optional[int] = None):
+    """In-graph chunked forward: mel (1, T, C) -> wav (1, T*hop, out_ch).
+
+    Traceable (call inside any jitted program — infer/e2e.py fuses it after
+    the acoustic decode); everything about the plan is static Python ints.
+    """
+    ctx = _context_frames(generator, context_frames)
+    T = int(mel.shape[1])
+    starts, offsets, chunk, window = _plan(T, n_chunks, ctx)
+    hop = int(np.prod(generator.upsample_scales))
+
+    # Right-pad so every static window slice is in range; padded frames only
+    # ever sit right of emitted positions.
+    pad = starts[-1] + window - T
+    m = jnp.pad(mel[0], [(0, pad), (0, 0)])
+    windows = jnp.stack([
+        jax.lax.dynamic_slice_in_dim(m, s, window, axis=0) for s in starts
+    ])  # (n_chunks, window, C)
+    y = generator.apply(variables, windows, rngs={"noise": rng})
+    pieces = [
+        jax.lax.dynamic_slice_in_dim(y[c], offsets[c] * hop, chunk * hop,
+                                     axis=0)
+        for c in range(n_chunks)
+    ]
+    return jnp.concatenate(pieces, axis=0)[None, : T * hop]
+
+
+def make_chunked_infer(generator, T: int, n_chunks: int,
+                       context_frames: Optional[int] = None):
+    """Jitted (variables, mel(B=1,T,C), rng) -> wav(1, T*hop, out_ch),
+    cached per (generator, T, n_chunks) with weakref eviction (same
+    lifetime contract as infer/streaming.py)."""
+    ctx = _context_frames(generator, context_frames)
     key = (id(generator), int(T), int(n_chunks), ctx)
     with _CHUNKED_CACHE_LOCK:
         entry = _CHUNKED_CACHE.get(key)
         if entry is not None and entry[0]() is generator:
             return entry[1]
 
-        starts, offsets, chunk, window = _plan(T, n_chunks, ctx)
-        hop = int(np.prod(generator.upsample_scales))
-
         @jax.jit
         def fn(variables, mel, rng):
-            # mel: (1, T, C). Right-pad so every static window slice is in
-            # range; padded frames only ever sit right of emitted positions.
-            pad = starts[-1] + window - T
-            m = jnp.pad(mel[0], [(0, pad), (0, 0)])
-            windows = jnp.stack([
-                jax.lax.dynamic_slice_in_dim(m, s, window, axis=0)
-                for s in starts
-            ])  # (n_chunks, window, C)
-            y = generator.apply(variables, windows, rngs={"noise": rng})
-            pieces = [
-                jax.lax.dynamic_slice_in_dim(
-                    y[c], offsets[c] * hop, chunk * hop, axis=0)
-                for c in range(n_chunks)
-            ]
-            wav = jnp.concatenate(pieces, axis=0)[: T * hop]
-            return wav[None]
+            return chunked_apply(generator, variables, mel, rng,
+                                 n_chunks, ctx)
 
         def _evict(_ref, key=key):
             with _CHUNKED_CACHE_LOCK:

@@ -30,11 +30,17 @@ _FUSED_CACHE: dict = {}  # (id(am), id(gen), max_len) -> (refs, jitted fn)
 _FUSED_CACHE_LOCK = threading.RLock()
 
 
-def make_fused_infer(am_model, generator, max_output_len: int):
-    """One jitted program per (am_model, generator, max_output_len), cached
-    at module level with weakref eviction (same lifetime contract as
-    infer/streaming.py — entries die with their models)."""
-    key = (id(am_model), id(generator), int(max_output_len))
+def make_fused_infer(am_model, generator, max_output_len: int,
+                     n_chunks: int = 0):
+    """One jitted program per (am_model, generator, max_output_len,
+    n_chunks), cached at module level with weakref eviction (same lifetime
+    contract as infer/streaming.py — entries die with their models).
+
+    ``n_chunks > 0`` routes the vocoder epilogue through the chunked-batch
+    path (infer/chunked.py): the decoded mel is split into n causal-context
+    windows synthesized as one batch inside the SAME program — identical
+    waveform, better MXU occupancy (causal non-NSF fullband only)."""
+    key = (id(am_model), id(generator), int(max_output_len), int(n_chunks))
     with _FUSED_CACHE_LOCK:
         entry = _FUSED_CACHE.get(key)
         if entry is not None and all(r() is not None for r in entry[0]):
@@ -42,12 +48,19 @@ def make_fused_infer(am_model, generator, max_output_len: int):
 
         from kantts_tpu.models.sambert.sambert import sambert_infer
 
+        if n_chunks:
+            from kantts_tpu.infer.chunked import chunked_apply
+
         @jax.jit
         def fn(am_variables, voc_variables, ling, emo, spk, lengths, rng):
             res = sambert_infer(am_model, am_variables, ling, emo, spk,
                                 lengths, max_output_len)
-            wav = generator.apply(voc_variables, res["postnet_outputs"],
-                                  rngs={"noise": rng})
+            if n_chunks:
+                wav = chunked_apply(generator, voc_variables,
+                                    res["postnet_outputs"], rng, n_chunks)
+            else:
+                wav = generator.apply(voc_variables, res["postnet_outputs"],
+                                      rngs={"noise": rng})
             return wav, res["LR_length_rounded"]
 
         def _evict(_ref, key=key):

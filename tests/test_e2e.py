@@ -252,8 +252,11 @@ def test_full_text_to_wav(trained_sambert, trained_hifigan, tmp_path):
     symbols_file.write_text(f"demo_0\t{make_symbols()}\n"
                             f"demo_1\t{make_symbols()}\n")
     out_dir = tmp_path / "tts_out"
+    # chunked=2 routes the vocoder through the chunked-batch path, covering
+    # the --chunked CLI pass-through (waveform-identical for this causal
+    # non-NSF generator; the other e2e tests cover the default path).
     text_to_wav(str(out_dir), am_ckpt, voc_ckpt,
-                symbols_file=str(symbols_file))
+                symbols_file=str(symbols_file), chunked=2)
 
     res = glob.glob(str(out_dir / "res_wavs" / "*.wav"))
     assert len(res) == 1  # demo_0 + demo_1 concatenated into "demo"

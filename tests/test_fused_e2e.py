@@ -62,3 +62,13 @@ def test_fused_matches_two_program_pipeline():
     # cache: same models + max_len -> the SAME jitted fn object
     assert make_fused_infer(am, gen, max_len) is fn
     assert make_fused_infer(am, gen, max_len * 2) is not fn
+
+    # chunked vocoder epilogue inside the fused program: same waveform
+    fn_c = make_fused_infer(am, gen, max_len, n_chunks=4)
+    assert fn_c is not fn
+    wav_c, n_frames_c = fn_c(am_vars, voc_vars, batch["inputs_ling"],
+                             batch["inputs_emotion"], batch["inputs_speaker"],
+                             batch["input_lengths"], jax.random.PRNGKey(0))
+    assert int(n_frames_c[0]) == int(n_frames[0])
+    np.testing.assert_allclose(np.asarray(wav_c), np.asarray(wav),
+                               atol=1e-5, rtol=1e-5)

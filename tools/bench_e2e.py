@@ -96,13 +96,35 @@ def main():
         dt = (time.perf_counter() - t0) / n
         best_fused = dt if best_fused is None else min(best_fused, dt)
 
+    # ------------- fused + chunked vocoder epilogue -------------
+    n_chunks = int(os.environ.get("KANTTS_BENCH_CHUNKS", "8"))
+    fused_c = make_fused_infer(am, gen, MAXLEN, n_chunks=n_chunks)
+    t0 = time.perf_counter()
+    wav, nf = fused_c(am_vars, voc_vars, ling, emo, spk, lengths, key)
+    _ = float(wav.sum())
+    print(f"fused+chunked compile+first: {time.perf_counter()-t0:.1f}s",
+          file=sys.stderr, flush=True)
+
+    best_fused_c = None
+    for _trial in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            wav, nf = fused_c(am_vars, voc_vars, ling, emo, spk, lengths, key)
+        _ = float(wav.sum())
+        dt = (time.perf_counter() - t0) / n
+        best_fused_c = dt if best_fused_c is None else min(best_fused_c, dt)
+
     audio_s = MAXLEN * hop / sr
     import json
 
     print(json.dumps({
         "two_program_ms": round(best_two * 1000, 2),
         "fused_ms": round(best_fused * 1000, 2),
+        "fused_chunked_ms": round(best_fused_c * 1000, 2),
+        "n_chunks": n_chunks,
         "speedup": round(best_two / best_fused, 3),
+        "speedup_chunked": round(best_two / best_fused_c, 3),
+        "fused_chunked_xrt": round(audio_s / best_fused_c, 1),
         "fused_xrt": round(audio_s / best_fused, 1),
         "audio_seconds_budget": audio_s,
     }))
