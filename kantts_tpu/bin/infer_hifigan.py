@@ -79,10 +79,11 @@ def hifigan_infer(input_mel, ckpt_path, output_dir, config=None,
 
     if chunked:
         # latency-optimized single-utterance path (infer/chunked.py):
-        # exact for the causal non-NSF fullband generator only.
-        if nsf_enable or pqmf is not None or not model.causal:
+        # exact for causal fullband generators (incl. NSF — the source is
+        # computed once per utterance and windowed alongside the mel).
+        if pqmf is not None or not model.causal:
             raise SystemExit(
-                "--chunked requires a causal, non-NSF, fullband generator")
+                "--chunked requires a causal, fullband generator")
 
         def synth(mel):
             fn = make_chunked_infer(model, int(mel.shape[1]), chunked)

@@ -24,6 +24,11 @@ to the causal convs' implicit padding (biases make zero inputs nonzero deep
 in the stack — see infer/streaming.py), so early windows start at frame 0
 and emit at a smaller offset instead. Right padding is harmless: a causal
 stack provably never reads frames to the right of an emitted position.
+
+NSF generators work too: the harmonic source (whose phase is a cumsum over
+the WHOLE utterance, reference layers.py:253-259) is computed once on the
+full input and windowed at sample rate alongside the mel, so the per-window
+forwards see exactly the full program's excitation.
 """
 
 from __future__ import annotations
@@ -57,15 +62,17 @@ def _plan(T: int, n_chunks: int, ctx: int):
 
 def _context_frames(generator, context_frames: Optional[int]) -> int:
     assert generator.causal, "chunked inference requires the causal generator"
-    # NSF source phase is a cumsum over the whole utterance and the harmonic
-    # noise draw is shape-dependent — per-window recomputation would not
-    # match the full program, so this path is for the plain generator only.
-    assert generator.nsf_params is None, "chunked inference is non-NSF only"
     if context_frames is not None:
         return int(context_frames)
-    return causal_receptive_field_frames(
+    ctx = causal_receptive_field_frames(
         generator.kernel_size, generator.upsample_scales,
         generator.resblock_kernel_sizes, generator.resblock_dilations)
+    if generator.nsf_params is not None:
+        # source_downs_i is a causal conv of kernel 2u at stride u over the
+        # sample-rate excitation — at most 2 extra mel frames of left context
+        # at any stage; pad the margin a little (cheap relative to ctx).
+        ctx += 4
+    return ctx
 
 
 def chunked_apply(generator, variables, mel, rng, n_chunks: int,
@@ -87,7 +94,21 @@ def chunked_apply(generator, variables, mel, rng, n_chunks: int,
     windows = jnp.stack([
         jax.lax.dynamic_slice_in_dim(m, s, window, axis=0) for s in starts
     ])  # (n_chunks, window, C)
-    y = generator.apply(variables, windows, rngs={"noise": rng})
+    if generator.nsf_params is not None:
+        # The NSF source phase is a cumsum over the WHOLE utterance and the
+        # noise draw is shape-dependent, so compute the excitation ONCE on
+        # the full (1, T, C) input — identical to the unchunked program —
+        # then window it at sample rate alongside the mel windows.
+        exc = generator.apply(variables, mel, excitation_only=True,
+                              rngs={"noise": rng})  # (1, T*hop, 1)
+        e = jnp.pad(exc[0], [(0, pad * hop), (0, 0)])
+        exc_windows = jnp.stack([
+            jax.lax.dynamic_slice_in_dim(e, s * hop, window * hop, axis=0)
+            for s in starts
+        ])  # (n_chunks, window*hop, 1)
+        y = generator.apply(variables, windows, excitation=exc_windows)
+    else:
+        y = generator.apply(variables, windows, rngs={"noise": rng})
     pieces = [
         jax.lax.dynamic_slice_in_dim(y[c], offsets[c] * hop, chunk * hop,
                                      axis=0)

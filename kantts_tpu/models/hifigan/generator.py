@@ -50,10 +50,19 @@ class Generator(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, excitation: Optional[jnp.ndarray] = None,
+                 excitation_only: bool = False) -> jnp.ndarray:
         """x: (B, T, in_channels) mel (NSF: last 2 channels = f0, uv).
 
         Returns (B, T * prod(upsample_scales), out_channels) in [-1, 1].
+
+        NSF escape hatches for windowed inference (infer/chunked.py): the
+        harmonic source phase is a cumsum over the WHOLE utterance, so a
+        windowed forward must not recompute it per window.
+        ``excitation_only=True`` returns the SourceModule output
+        (B, T*hop, 1) and nothing else; ``excitation=`` injects a
+        precomputed (already windowed) source in place of the SourceModule
+        call — no 'noise' rng needed in that case.
         """
         assert self.kernel_size % 2 == 1, "Kernel size must be odd number."
         act = get_activation(
@@ -68,17 +77,22 @@ class Generator(nn.Module):
             mel = x[:, :, :-2]
             pitch = x[:, :, -2:-1]
             uv = x[:, :, -1:]
-            excitation = SourceModule(
-                nb_harmonics=self.nsf_params["nb_harmonics"],
-                upsample_ratio=int(np.prod(self.upsample_scales)),
-                sampling_rate=self.nsf_params["sampling_rate"],
-                dtype=self.dtype,
-                name="source_module",
-            )(pitch, uv)
+            if excitation is None:
+                excitation = SourceModule(
+                    nb_harmonics=self.nsf_params["nb_harmonics"],
+                    upsample_ratio=int(np.prod(self.upsample_scales)),
+                    sampling_rate=self.nsf_params["sampling_rate"],
+                    dtype=self.dtype,
+                    name="source_module",
+                )(pitch, uv)
+            if excitation_only:
+                return excitation
             # stage i sees excitation downsampled by prod(scales[i+1:])
             downsample_rates = [1] + list(self.upsample_scales[::-1][:-1])
             downsample_cum = np.cumprod(downsample_rates)[::-1]
         else:
+            assert excitation is None and not excitation_only, \
+                "excitation paths are NSF-only"
             mel = x
 
         h = WNConv1d(

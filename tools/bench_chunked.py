@@ -31,10 +31,28 @@ def main():
 
     dtype_name = os.environ.get("KANTTS_BENCH_DTYPE", "bfloat16")
     dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[dtype_name]
-    sample_rate, hop, frames = 16000, 200, 400
-    gen = _hifigan_16k(dtype=dtype)
-    mel = jnp.asarray(
-        np.random.RandomState(0).randn(1, frames, 80).astype(np.float32))
+    voc = os.environ.get("KANTTS_BENCH_VOC", "16k")  # 16k | nsf24k
+    rs = np.random.RandomState(0)
+    if voc == "nsf24k":
+        import yaml
+
+        from kantts_tpu.models.hifigan.generator import Generator
+
+        params_cfg = yaml.safe_load(open(os.path.join(
+            REPO, "kantts_tpu/configs/hifigan_v1_nsf_24k.yaml"
+        )))["Model"]["Generator"]["params"]
+        gen = Generator(**{**params_cfg, "dtype": dtype})
+        sample_rate, hop = 24000, 240
+        secs = float(os.environ.get("KANTTS_BENCH_SECONDS", "5"))
+        frames = int(sample_rate * secs) // hop
+        x = rs.randn(1, frames, 82).astype(np.float32)
+        x[..., -2] = rs.uniform(80.0, 250.0, x.shape[:2])  # f0
+        x[..., -1] = (rs.rand(*x.shape[:2]) > 0.3).astype(np.float32)  # uv
+        mel = jnp.asarray(x)
+    else:
+        sample_rate, hop, frames = 16000, 200, 400
+        gen = _hifigan_16k(dtype=dtype)
+        mel = jnp.asarray(rs.randn(1, frames, 80).astype(np.float32))
     params = gen.init(jax.random.PRNGKey(0), mel)
     rng = jax.random.PRNGKey(0)
     n_iter = int(os.environ.get("KANTTS_BENCH_ITERS", "50"))
@@ -42,7 +60,8 @@ def main():
     results = []
     for n_chunks in (0, 2, 4, 8, 16):
         if n_chunks == 0:  # plain full program baseline
-            plain = jax.jit(lambda p, m: gen.apply(p, m))
+            plain = jax.jit(
+                lambda p, m: gen.apply(p, m, rngs={"noise": rng}))
             fwd = jax.jit(lambda p, m, c: (lambda y: (y, c + jnp.sum(
                 y[:, -1, 0])))(plain(p, m + c * 1e-9)))
         else:
