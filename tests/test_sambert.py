@@ -352,3 +352,37 @@ def test_textsy_bert():
     )
     res = model.apply(variables, x, lengths)
     assert res["logits"].shape == (2, 10, TINY["sy"])
+
+
+@pytest.mark.slow
+def test_sambert_se_forward_and_infer(train_batch):
+    """SE=true replaces the speaker-id embedding with a raw d-vector
+    (reference kantts_sambert.py:770-778): inputs_speaker is the float
+    (B, T_in, speaker_units) embedding itself. Train forward + full AR
+    inference must run with float speaker inputs."""
+    cfg = dict(TINY, SE=True)
+    model = KanTtsSAMBERT(cfg)
+    rs = np.random.RandomState(3)
+    batch = dict(train_batch)
+    B, T_in = batch["inputs_emotion"].shape
+    batch["inputs_speaker"] = jnp.asarray(
+        rs.randn(B, T_in, TINY["speaker_units"]).astype(np.float32))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        **batch, deterministic=False,
+    )
+    assert "spk_tokenizer" not in variables["params"]
+    res = model.apply(
+        variables, **batch, deterministic=False,
+        rngs={"dropout": jax.random.PRNGKey(2)},
+    )
+    assert res["postnet_outputs"].shape == (2, 24, 10)
+    assert np.isfinite(np.asarray(res["postnet_outputs"])).all()
+
+    infer = sambert_infer(
+        model, variables,
+        batch["inputs_ling"][:1], batch["inputs_emotion"][:1],
+        batch["inputs_speaker"][:1], jnp.asarray([12]), max_output_len=48,
+    )
+    assert infer["postnet_outputs"].shape == (1, 48, 10)
+    assert np.isfinite(np.asarray(infer["postnet_outputs"])).all()
