@@ -93,29 +93,42 @@ def am_synthesis(symbol_seq, model, variables, ling_unit, se=None,
                  input_bucket=32, frames_per_symbol=24):
     """One utterance: encode symbols and run the jitted acoustic forward
     (reference am_synthesis, infer_sambert.py:58-153)."""
-    feats = ling_unit.encode_symbol_sequence(symbol_seq)
+    return am_synthesis_batch([symbol_seq], model, variables, ling_unit,
+                              se=se, input_bucket=input_bucket,
+                              frames_per_symbol=frames_per_symbol)[0]
+
+
+def am_synthesis_batch(symbol_seqs, model, variables, ling_unit, se=None,
+                       input_bucket=32, frames_per_symbol=24,
+                       batch_pad_to=None):
+    """A group of utterances through ONE jitted acoustic forward.
+
+    TPU-native throughput lever the reference's per-utterance loop
+    (reference infer_sambert.py:156-227) cannot express: utterances pad to
+    the group's common symbol bucket and the batch dim pads to
+    ``batch_pad_to`` (repeat-last), so one compiled program serves every
+    group of a bucket. Per-item PNCA band widths (sambert.py) guarantee each
+    utterance decodes under exactly the mask its own B=1 run would use —
+    batch composition cannot change synthesis output.
+
+    Returns a list of (dec_mel, postnet_mel, durations, f0, energy), one per
+    input utterance.
+    """
+    from kantts_tpu.infer.exported import encode_symbol_inputs
+
     n_ling = 1 if ling_unit.using_byte() else 4
     r = model.config["outputs_per_step"]
+    n_real = len(symbol_seqs)
 
-    # drop trailing EOS from model inputs (reference [:, :-1])
-    n = len(feats[0]) - 1
-    L_in = int(np.ceil(max(n, 1) / input_bucket) * input_bucket)
-
-    def pad_track(track, pad_id):
-        return np.pad(track[:-1], (0, L_in - n), constant_values=pad_id)
-
-    types = ling_unit.lfeat_type_list
-    ling = np.stack(
-        [pad_track(feats[i], ling_unit.pad_id(types[i])) for i in range(n_ling)],
-        axis=-1,
-    )[None]
-    emo = pad_track(feats[n_ling], ling_unit.pad_id(types[n_ling]))[None]
-    if se is not None:
-        spk = np.repeat(se.reshape(1, -1), L_in, axis=0)[None].astype(np.float32)
-    else:
-        spk = pad_track(feats[n_ling + 1],
-                        ling_unit.pad_id(types[n_ling + 1]))[None]
-    lengths = np.asarray([n], dtype=np.int32)
+    # common symbol bucket over the group (drop trailing EOS: reference [:, :-1])
+    ns = [len(ling_unit.encode_symbol_sequence(s)[0]) - 1 for s in symbol_seqs]
+    L_in = int(np.ceil(max(max(ns), 1) / input_bucket) * input_bucket)
+    parts = [encode_symbol_inputs(ling_unit, s, L_in, n_ling, se=se)
+             for s in symbol_seqs]
+    while len(parts) < (batch_pad_to or 0):  # fixed B per compiled program
+        parts.append(parts[-1])
+    ling, emo, spk, lengths = (np.concatenate([p[i] for p in parts])
+                               for i in range(4))
 
     max_output_len = int(np.ceil(L_in * frames_per_symbol / r) * r)
     model_key = id(model)
@@ -123,25 +136,35 @@ def am_synthesis(symbol_seq, model, variables, ling_unit, se=None,
     fn = _jitted_infer(model_key, max_output_len)
     res = fn(variables, jnp.asarray(ling), jnp.asarray(emo),
              jnp.asarray(spk), jnp.asarray(lengths))
-    valid = int(res["LR_length_rounded"][0])
-    if valid == 0:
-        # degenerate duration predictions (e.g. untrained model): emit a
-        # minimal non-empty mel so downstream tools stay functional
-        logging.warning("predicted zero total duration; emitting %d frames", r)
-        valid = r
-    dec = np.asarray(res["dec_outputs"])[0, :valid]
-    post = np.asarray(res["postnet_outputs"])[0, :valid]
-    dur = np.floor(
-        np.exp(np.asarray(res["log_duration_predictions"])[0, :n]) - 1 + 0.5
+
+    valid_all = np.asarray(res["LR_length_rounded"])
+    dec_all = np.asarray(res["dec_outputs"])
+    post_all = np.asarray(res["postnet_outputs"])
+    dur_all = np.floor(
+        np.exp(np.asarray(res["log_duration_predictions"])) - 1 + 0.5
     ).astype(np.int64)
-    f0 = np.asarray(res["pitch_predictions"])[0, :n]
-    energy = np.asarray(res["energy_predictions"])[0, :n]
-    logging.info("x_band_width:%d, h_band_width: %d",
-                 int(res["x_band_width"]), int(res["h_band_width"]))
-    return dec, post, dur, f0, energy
+    f0_all = np.asarray(res["pitch_predictions"])
+    energy_all = np.asarray(res["energy_predictions"])
+    bw = np.atleast_1d(np.asarray(res["x_band_width"]))
+
+    outs = []
+    for i in range(n_real):
+        valid = int(valid_all[i])
+        if valid == 0:
+            # degenerate duration predictions (e.g. untrained model): emit a
+            # minimal non-empty mel so downstream tools stay functional
+            logging.warning("predicted zero total duration; emitting %d frames",
+                            r)
+            valid = r
+        n = ns[i]
+        logging.info("x_band_width:%d, h_band_width: %d",
+                     int(bw[min(i, len(bw) - 1)]), int(bw[min(i, len(bw) - 1)]))
+        outs.append((dec_all[i, :valid], post_all[i, :valid], dur_all[i, :n],
+                     f0_all[i, :n], energy_all[i, :n]))
+    return outs
 
 
-def am_infer(sentence, ckpt, output_dir, se_file=None, config=None):
+def am_infer(sentence, ckpt, output_dir, se_file=None, config=None, batch=1):
     model, variables, ling_unit, cfg = load_am_checkpoint(ckpt, config)
     params_cfg = cfg["Model"]["KanTtsSAMBERT"]["params"]
 
@@ -162,12 +185,24 @@ def am_infer(sentence, ckpt, output_dir, se_file=None, config=None):
     results_dir = os.path.join(output_dir, "feat")
     os.makedirs(results_dir, exist_ok=True)
 
+    utts = []
     with open(sentence, encoding="utf-8") as f:
         for line in f:
             parts = line.strip().split("\t")
-            if len(parts) < 2:
-                continue
-            utt_id, symbols = parts[0], parts[1]
+            if len(parts) >= 2:
+                utts.append((parts[0], parts[1]))
+
+    def write_outputs(utt_id, mel_post, dur, f0, energy):
+        if nsf_enable:
+            mel_post = denorm_f0(mel_post, norm_type=nsf_norm_type,
+                                 f0_feature=f0_feature)
+        np.save(os.path.join(results_dir, f"{utt_id}_mel.npy"), mel_post)
+        np.savetxt(os.path.join(results_dir, f"{utt_id}_dur.txt"), dur)
+        np.savetxt(os.path.join(results_dir, f"{utt_id}_f0.txt"), f0)
+        np.savetxt(os.path.join(results_dir, f"{utt_id}_energy.txt"), energy)
+
+    if batch <= 1:
+        for utt_id, symbols in utts:
             logging.info("Inference sentence: %s", utt_id)
             t0 = time.time()
             _, mel_post, dur, f0, energy = am_synthesis(
@@ -175,13 +210,25 @@ def am_infer(sentence, ckpt, output_dir, se_file=None, config=None):
             )
             logging.info("synthesized %d frames in %.3fs",
                          mel_post.shape[0], time.time() - t0)
-            if nsf_enable:
-                mel_post = denorm_f0(mel_post, norm_type=nsf_norm_type,
-                                     f0_feature=f0_feature)
-            np.save(os.path.join(results_dir, f"{utt_id}_mel.npy"), mel_post)
-            np.savetxt(os.path.join(results_dir, f"{utt_id}_dur.txt"), dur)
-            np.savetxt(os.path.join(results_dir, f"{utt_id}_f0.txt"), f0)
-            np.savetxt(os.path.join(results_dir, f"{utt_id}_energy.txt"), energy)
+            write_outputs(utt_id, mel_post, dur, f0, energy)
+        return
+
+    # batched mode: sort by symbol count so groups share a bucket (one
+    # compiled program per (bucket, batch)), then synthesize each group in
+    # one jitted call — ~3x mel frames/s at batch 8 (PERFORMANCE.md sweep)
+    order = sorted(range(len(utts)), key=lambda i: -len(utts[i][1]))
+    for g0 in range(0, len(order), batch):
+        group = order[g0 : g0 + batch]
+        t0 = time.time()
+        results = am_synthesis_batch(
+            [utts[i][1] for i in group], model, variables, ling_unit, se=se,
+            batch_pad_to=batch,
+        )
+        n_frames = sum(r[1].shape[0] for r in results)
+        logging.info("batch of %d: %d frames in %.3fs", len(group), n_frames,
+                     time.time() - t0)
+        for i, (_, mel_post, dur, f0, energy) in zip(group, results):
+            write_outputs(utts[i][0], mel_post, dur, f0, energy)
 
 
 def main():
@@ -190,8 +237,12 @@ def main():
     parser.add_argument("--output_dir", type=str, required=True)
     parser.add_argument("--ckpt", type=str, required=True)
     parser.add_argument("--se_file", type=str, required=False)
+    parser.add_argument("--batch", type=int, default=1,
+                        help="utterances per jitted call (batched acoustic "
+                             "inference; ~3x throughput at 8)")
     args = parser.parse_args()
-    am_infer(args.sentence, args.ckpt, args.output_dir, args.se_file)
+    am_infer(args.sentence, args.ckpt, args.output_dir, args.se_file,
+             batch=args.batch)
 
 
 if __name__ == "__main__":

@@ -76,7 +76,7 @@ def concat_process(chunk_wav_dir, output_dir, sampling_rate=None,
 
 def text_to_wav(output_dir, am_ckpt, voc_ckpt, text_file=None,
                 symbols_file=None, frontend=None, speaker="F7", lang="PinYin",
-                se_file=None, chunked=0):
+                se_file=None, chunked=0, am_batch=1, voc_batch=1):
     os.makedirs(output_dir, exist_ok=True)
     symbols_path = os.path.join(output_dir, "symbols.lst")
 
@@ -109,14 +109,16 @@ def text_to_wav(output_dir, am_ckpt, voc_ckpt, text_file=None,
                 for j, seq in enumerate(seqs):
                     f.write(f"{i}_{j}\t{seq}\n")
 
-    am_infer(symbols_path, am_ckpt, output_dir, se_file=se_file)
+    am_infer(symbols_path, am_ckpt, output_dir, se_file=se_file,
+             batch=am_batch)
     feat_dir = os.path.join(output_dir, "feat")
     chunk_dir = os.path.join(output_dir, "wav_chunks")
     mel_list = os.path.join(output_dir, "mel.lst")
     with open(mel_list, "w") as f:
         for mel in sorted(glob.glob(os.path.join(feat_dir, "*_mel.npy"))):
             f.write(mel + "\n")
-    hifigan_infer(mel_list, voc_ckpt, chunk_dir, chunked=chunked)
+    hifigan_infer(mel_list, voc_ckpt, chunk_dir, chunked=chunked,
+                  batch=voc_batch)
     concat_process(chunk_dir, os.path.join(output_dir, "res_wavs"))
 
 
@@ -138,10 +140,17 @@ def main():
     parser.add_argument("--chunked", type=int, default=0, metavar="N",
                         help="chunked-batch vocoder synthesis (see "
                              "infer_hifigan --chunked)")
+    parser.add_argument("--am_batch", type=int, default=1, metavar="B",
+                        help="batched acoustic inference: utterances per "
+                             "jitted call (see infer_sambert --batch)")
+    parser.add_argument("--voc_batch", type=int, default=1, metavar="B",
+                        help="cross-utterance batched vocoder synthesis "
+                             "(see infer_hifigan --batch)")
     args = parser.parse_args()
     text_to_wav(args.output_dir, args.am_ckpt, args.voc_ckpt, args.txt,
                 args.symbols_file, args.frontend, args.speaker, args.lang,
-                args.se_file, chunked=args.chunked)
+                args.se_file, chunked=args.chunked, am_batch=args.am_batch,
+                voc_batch=args.voc_batch)
 
 
 if __name__ == "__main__":

@@ -658,7 +658,20 @@ def sambert_infer(
         variables, LR_text, LR_emo, LR_spk, method=KanTtsSAMBERT.build_memory
     )
 
-    x_band_width = jnp.floor(duration_predictions.max() / r + 0.5).astype(jnp.int32)
+    # PNCA band widths from predicted durations (reference am_synthesis
+    # computes them per utterance at B=1, kantts_sambert.py:569-584). For
+    # batched inference use PER-ITEM widths — shaped (B,1,1,1) they broadcast
+    # through the step masks — so each utterance sees exactly the mask its
+    # own B=1 run would (batch composition cannot change synthesis). The
+    # B == 1 branch is trace-time: single-utterance programs are unchanged.
+    if B == 1:
+        x_band_width = jnp.floor(
+            duration_predictions.max() / r + 0.5).astype(jnp.int32)
+        bw_step = x_band_width
+    else:
+        x_band_width = jnp.floor(
+            duration_predictions.max(axis=1) / r + 0.5).astype(jnp.int32)
+        bw_step = x_band_width.reshape(B, 1, 1, 1)
     h_band_width = x_band_width
 
     output_masks = get_mask_from_lengths(LR_length, max_output_len)
@@ -669,7 +682,7 @@ def sambert_infer(
     dec_outputs = pnca_decoder_infer(
         decoder_def,
         {"params": variables["params"]["mel_decoder"]},
-        memory, x_band_width, h_band_width, mem_pad_mask,
+        memory, bw_step, bw_step, mem_pad_mask,
         # trace-time tunable: the scan is launch-bound, so deeper unrolls
         # trade compile time for step-dispatch amortization (12 is the
         # measured sweet spot on v5e: 22.4k vs 21.2k frames/s at 4; 8 and 16

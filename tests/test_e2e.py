@@ -107,6 +107,10 @@ SAMBERT_TINY = {
                 postnet_filter_size=5, postnet_fsmn_num_layers=1,
                 postnet_num_memory_units=16, postnet_ffn_inner_dim=16,
                 postnet_dropout=0.1, postnet_shift=1, postnet_lstm_units=8,
+                # de-saturate the relu'd duration head so the 4-step-trained
+                # fixture predicts nonzero durations at inference (the
+                # documented short-corpus footgun, PERFORMANCE.md)
+                dur_pred_bias_init=1.0,
             ),
             "optimizer": {"type": "Adam",
                           "params": {"lr": 1e-3, "betas": [0.9, 0.98],
@@ -386,3 +390,76 @@ def test_sambert_resume(trained_sambert, corpus, tmp_path):
     train(str(cfg_path), str(corpus), str(stage2), resume_path=ckpt,
           data_parallel=False)
     assert glob.glob(str(stage2 / "ckpt" / "*.ckpt"))
+
+def test_exported_serving_artifact(trained_sambert, trained_hifigan, tmp_path):
+    """jax.export serving artifact: export -> reload -> synthesize, and the
+    deserialized StableHLO program is waveform-identical to the live fused
+    program (infer/exported.py; deployment parity with the reference's
+    modelscope pipeline around text_to_wav)."""
+    import jax
+
+    from kantts_tpu.bin.infer_hifigan import load_model
+    from kantts_tpu.bin.infer_sambert import load_am_checkpoint
+    from kantts_tpu.infer.e2e import make_fused_infer
+    from kantts_tpu.infer.exported import (
+        ExportedTTS,
+        encode_symbol_inputs,
+        export_fused_tts,
+    )
+
+    _, am_ckpt = trained_sambert
+    _, voc_ckpt = trained_hifigan
+    art = tmp_path / "artifact"
+    # cpu-only lowering keeps the test fast; production default is (cpu, tpu)
+    meta = export_fused_tts(am_ckpt, voc_ckpt, str(art), max_input_len=32,
+                            max_output_len=48, platforms=("cpu",))
+    for fname in ("program.jaxexp", "weights.msgpack", "config.yaml",
+                  "meta.json"):
+        assert (art / fname).exists()
+    assert meta["hop_total"] == HOP and meta["sampling_rate"] == SR
+
+    tts = ExportedTTS(str(art))
+    sym = make_symbols()
+    wav, n_frames = tts.synthesize(sym)
+    assert 0 < n_frames <= 48
+    assert wav.shape == (n_frames * HOP,)
+    assert np.isfinite(wav).all()
+
+    # the artifact is the program: identical output to the live fused path
+    am, am_vars, ling_unit, _ = load_am_checkpoint(am_ckpt)
+    gen, voc_vars, _, _ = load_model(voc_ckpt)
+    fn = make_fused_infer(am, gen, 48)
+    ling, emo, spk, lengths = encode_symbol_inputs(ling_unit, sym, 32, 4)
+    wav_ref, n_ref = fn(am_vars, voc_vars, ling, emo, spk, lengths,
+                        jax.random.PRNGKey(0))
+    assert int(np.asarray(n_ref)[0]) == n_frames
+    np.testing.assert_allclose(wav, np.asarray(wav_ref)[0, : len(wav), 0],
+                               atol=1e-5)
+
+def test_hifigan_batched_infer_matches_single(trained_hifigan, tmp_path):
+    """Cross-utterance batched vocoder synthesis (--batch) writes the same
+    wavs as the per-utterance path: batch items never interact in the conv
+    stacks and end-padding is identical, so batching is exact (causal and
+    non-causal alike — this guards the grouping/padding/slicing logic)."""
+    from kantts_tpu.bin.infer_hifigan import hifigan_infer
+
+    _, voc_ckpt = trained_hifigan
+    rng = np.random.RandomState(0)
+    mel_dir = tmp_path / "mels"
+    mel_dir.mkdir()
+    for i, frames in enumerate([30, 45, 60]):
+        np.save(mel_dir / f"m{i}.npy",
+                rng.randn(frames, 80).astype(np.float32))
+
+    out1 = tmp_path / "single"
+    outb = tmp_path / "batched"
+    hifigan_infer(str(mel_dir), voc_ckpt, str(out1))
+    hifigan_infer(str(mel_dir), voc_ckpt, str(outb), batch=2)
+
+    from kantts_tpu.utils.audio import read_wav
+
+    for i in range(3):
+        sr1, w1 = read_wav(str(out1 / f"m{i}.wav"))
+        srb, wb = read_wav(str(outb / f"m{i}.wav"))
+        assert sr1 == srb and len(w1) == len(wb)
+        np.testing.assert_allclose(wb, w1, atol=2e-4)
