@@ -20,7 +20,6 @@ from __future__ import annotations
 
 import argparse
 import glob
-import importlib
 import logging
 import os
 import sys
@@ -93,11 +92,8 @@ def text_to_wav(output_dir, am_ckpt, voc_ckpt, text_file=None,
             frontend = "kantts_tpu.text.pinyin_frontend"
             logging.info("Using the in-tree pinyin front-end (tone-numbered "
                          "pinyin input); pass --frontend for hanzi/custom g2p.")
-        if frontend.startswith("lexicon:"):
-            from kantts_tpu.text.lexicon_frontend import make_frontend
-            fe = make_frontend(frontend[len("lexicon:"):])
-        else:
-            fe = importlib.import_module(frontend)
+        from kantts_tpu.serve.service import resolve_frontend
+        fe = resolve_frontend(frontend)
         with open(text_file, encoding="utf-8") as f:
             texts = [line.strip() for line in f if line.strip()]
         symbol_seqs = fe.text_to_symbols(texts, speaker=speaker, lang=lang)

@@ -1,0 +1,195 @@
+"""Dynamic-batching TTS service: results identical to the offline pipeline,
+concurrent requests coalesce into batched calls, HTTP round trip works.
+
+The batching guarantee rests on the already-tested invariants that batch
+composition cannot change any item's output (tests/test_batched_infer.py for
+the AM's per-item band widths; the vocoder's convs never mix batch items) —
+here we assert the end product: a service under concurrent load produces the
+same audio as sequential requests, in fewer device calls.
+"""
+
+import threading
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kantts_tpu.models.hifigan.generator import Generator
+from kantts_tpu.models.sambert.sambert import KanTtsSAMBERT
+from kantts_tpu.serve import TTSService, make_http_server, wav_bytes
+from kantts_tpu.serve.server import parse_wav_bytes
+from kantts_tpu.text.ling_unit import KanTtsLinguisticUnit
+from tests.test_sambert import TINY
+
+LING_CONFIG = {
+    "linguistic_unit": {
+        "cleaners": "english_cleaners",
+        "lfeat_type_list": "sy,tone,syllable_flag,word_segment,"
+                           "emo_category,speaker_category",
+        "speaker_list": "F7",
+        "language": "PinYin",
+    },
+    "Model": {"KanTtsSAMBERT": {"params": {"max_len": 800}}},
+}
+
+TEXTS = ["ni3 hao3", "shi4 jie4", "zhong1 guo2", "tian1 qi4 hao3",
+         "wo3 men5", "xie4 xie5"]
+
+
+def _build_service(**kwargs):
+    ling_unit = KanTtsLinguisticUnit(LING_CONFIG)
+    cfg = dict(TINY)
+    cfg.update(ling_unit.get_unit_size())
+    am = KanTtsSAMBERT(cfg)
+
+    rng = np.random.RandomState(0)
+    B, T_in, T_out = 1, 8, 24
+    am_vars = am.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        inputs_ling=jnp.asarray(rng.randint(0, 5, (B, T_in, 4)),
+                                dtype=jnp.int32),
+        inputs_emotion=jnp.asarray(rng.randint(0, 4, (B, T_in)),
+                                   dtype=jnp.int32),
+        inputs_speaker=jnp.asarray(rng.randint(0, 2, (B, T_in)),
+                                   dtype=jnp.int32),
+        input_lengths=jnp.asarray([T_in]),
+        output_lengths=jnp.asarray([T_out]),
+        mel_targets=jnp.zeros((B, T_out, cfg["num_mels"])),
+        duration_targets=jnp.asarray(np.full((B, T_in), 3.0,
+                                             dtype=np.float32)),
+        pitch_targets=jnp.zeros((B, T_in)),
+        energy_targets=jnp.zeros((B, T_in)),
+        deterministic=False,
+    )
+
+    gen = Generator(
+        in_channels=cfg["num_mels"], out_channels=1, channels=16,
+        kernel_size=7, upsample_scales=(4, 4), upsample_kernal_sizes=(8, 8),
+        resblock_kernel_sizes=(3,), resblock_dilations=((1, 3),), causal=True,
+    )
+    voc_vars = gen.init(jax.random.PRNGKey(2),
+                        jnp.zeros((1, 16, cfg["num_mels"])))
+
+    defaults = dict(sample_rate=16000, input_bucket=8, frame_bucket=16,
+                    frames_per_symbol=6, max_batch=4, max_wait_ms=30.0)
+    defaults.update(kwargs)
+    return TTSService(am, am_vars, ling_unit, gen, voc_vars, **defaults)
+
+
+def test_service_matches_offline_pipeline():
+    """One request through the service == the CLI-equivalent manual path
+    (AM batch synthesis + bucket-padded vocoder + tail silence)."""
+    from kantts_tpu.bin.infer_sambert import am_synthesis_batch
+
+    service = _build_service()
+    try:
+        # the default front-end is the in-tree pinyin g2p
+        import kantts_tpu.text.pinyin_frontend as fe
+
+        fe_seqs = fe.text_to_symbols([TEXTS[0]])[0]
+        sr, wav = service.synthesize(TEXTS[0])
+        assert sr == 16000
+
+        # manual: the exact offline pipeline at the service's buckets
+        outs = am_synthesis_batch(
+            fe_seqs, service.am_model, service.am_variables,
+            service.ling_unit, input_bucket=8, frames_per_symbol=6,
+            batch_pad_to=4)
+        pieces = []
+        for i, (_, mel, _, _, _) in enumerate(outs):
+            L = int(np.ceil(mel.shape[0] / 16) * 16)
+            mel_in = np.pad(mel, [(0, L - mel.shape[0]), (0, 0)]).astype(
+                np.float32)[None]
+            y = np.asarray(service.generator.apply(
+                service.voc_variables, jnp.asarray(mel_in),
+                rngs={"noise": jax.random.PRNGKey(0)}))
+            hop = y.shape[1] // L
+            pieces.append(y[0, : mel.shape[0] * hop, 0])
+            if i != len(outs) - 1:
+                pieces.append(np.zeros(int(0.28 * sr), dtype=np.float32))
+        pieces.append(np.zeros(int(0.05 * sr), dtype=np.float32))
+        expected = np.concatenate(pieces)
+
+        assert wav.shape == expected.shape
+        np.testing.assert_allclose(wav, expected, atol=1e-4)
+        assert service.stats["requests"] == 1
+    finally:
+        service.close()
+
+
+@pytest.mark.slow
+def test_concurrent_requests_batch_and_match():
+    """N concurrent requests produce the same audio as sequential requests,
+    in strictly fewer coordinator batches than utterances."""
+    service = _build_service(max_batch=4, max_wait_ms=150.0)
+    try:
+        # sequential reference pass
+        sequential = {t: service.synthesize(t)[1] for t in TEXTS}
+        base_batches = service.stats["batches"]
+
+        results, errors = {}, []
+
+        def worker(text):
+            try:
+                results[text] = service.synthesize(text, timeout=120)[1]
+            except BaseException as e:  # surface in the main thread
+                errors.append(e)
+
+        threads = [threading.Thread(target=worker, args=(t,)) for t in TEXTS]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=180)
+        assert not errors
+        assert len(results) == len(TEXTS)
+        for t in TEXTS:
+            np.testing.assert_allclose(results[t], sequential[t], atol=1e-4)
+
+        # coalescing actually happened: 6 utterances in < 6 batches
+        assert service.stats["batches"] - base_batches < len(TEXTS)
+        assert service.stats["utterances"] >= 2 * len(TEXTS)
+    finally:
+        service.close()
+
+
+@pytest.mark.slow
+def test_http_roundtrip():
+    service = _build_service()
+    httpd = make_http_server(service, "127.0.0.1", 0)
+    port = httpd.server_address[1]
+    th = threading.Thread(target=httpd.serve_forever, daemon=True)
+    th.start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/tts",
+            data=('{"text": "%s"}' % TEXTS[0]).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            assert resp.headers["Content-Type"] == "audio/wav"
+            body = resp.read()
+        sr, wav = parse_wav_bytes(body)
+        assert sr == 16000
+
+        sr2, expected = service.synthesize(TEXTS[0])
+        # the HTTP body is the PCM16 quantization of the same waveform
+        assert body == wav_bytes(expected, sr2)
+
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=30) as resp:
+            import json
+
+            health = json.loads(resp.read())
+        assert health["ok"] and health["requests"] >= 1
+
+        # bad request: missing text key -> 400, server stays up
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/tts", data=b'{"nope": 1}',
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(bad, timeout=30)
+        assert exc.value.code == 400
+    finally:
+        httpd.shutdown()
+        service.close()
