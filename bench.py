@@ -307,8 +307,37 @@ def bench_train_step():
     }
 
 
+def _preflight_device_probe():
+    """Fail fast (and honestly) if the device never answers. This box's TPU
+    is reached through a relay that can wedge in a way that blocks backend
+    discovery indefinitely — in that state every metric call would hang the
+    harness. A daemon watchdog hard-exits with a diagnostic instead; a
+    non-zero exit is recordable evidence, a hang is not."""
+    import threading
+
+    probe_s = float(os.environ.get("KANTTS_BENCH_PROBE_S", "900"))
+    done = threading.Event()
+
+    def watchdog():
+        if not done.wait(probe_s):
+            print(json.dumps({
+                "error": "device probe timed out",
+                "detail": f"jax.devices() unresponsive after {probe_s:.0f}s "
+                          "(TPU relay wedged?); no measurement possible",
+            }), file=sys.stderr, flush=True)
+            os._exit(3)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+    import jax
+
+    n = len(jax.devices())
+    done.set()
+    print(f"device probe ok: {n} device(s)", file=sys.stderr, flush=True)
+
+
 def main():
     _enable_compile_cache()
+    _preflight_device_probe()
     target = os.environ.get("KANTTS_BENCH_TARGET", "")
     benches = {"hifigan": bench_hifigan, "sambert": bench_sambert,
                "train": bench_train_step}
