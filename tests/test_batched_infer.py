@@ -10,11 +10,13 @@ semantics; this guards the batched throughput path against drift from it.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from kantts_tpu.models.sambert.sambert import KanTtsSAMBERT, sambert_infer
 from tests.test_sambert import TINY
 
 
+@pytest.mark.slow
 def test_batched_infer_matches_single():
     model = KanTtsSAMBERT(TINY)
     rng = np.random.RandomState(0)

@@ -130,6 +130,7 @@ def test_fp_train_forward():
                                   np.asarray(inter))
 
 
+@pytest.mark.slow
 def test_fp_infer():
     cfg = dict(TINY, FP=True)
     model = KanTtsSAMBERT(cfg)

@@ -50,6 +50,7 @@ def _sambert_fixtures():
     return batch, model, variables, criterion, tx
 
 
+@pytest.mark.slow
 def test_tp_spec_rules():
     """Attention/FFN kernels shard over model; heads/norms stay replicated."""
     mesh = make_mesh_2d(2, 4)
