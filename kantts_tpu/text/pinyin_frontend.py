@@ -68,6 +68,15 @@ def pinyin_to_syllables(word_text: str, lang: str = "PinYin"
             pron += "5"  # missing tone = neutral
         elif pron.endswith("0"):
             pron = pron[:-1] + "5"
+        # the reference's py2phone map spells u-umlaut as "v" (qv/jv/xv/
+        # yv/...); standard pinyin writes it "u" after j/q/x/y (after those
+        # initials "u" IS u-umlaut). Fold to the v-keyed spelling when the
+        # u-form is not in the map, so standard input like qu4/yuan2/xue2
+        # works.
+        if (pron[0] in "jqxy" and "u" in pron
+                and pron.rstrip("0123456789") not in getattr(
+                    formatter, "sy2ph", {})):
+            pron = pron.replace("u", "v", 1)
         if not formatter.format(phoneset, pron, syllables):
             raise ValueError(f"unknown pinyin syllable: {m.group(0)!r} "
                              f"(word {word_text!r})")

@@ -99,3 +99,15 @@ def test_item_structure():
     assert len(items) == 1
     assert [w.break_text for w in items[0].spoken_words] == ["1", "4"]
     assert len(items[0].spoken_words[0].syllables) == 2
+
+
+def test_u_umlaut_standard_spelling_folds_to_v():
+    """Standard pinyin writes u-umlaut as "u" after j/q/x/y; the reference's
+    py2phone map keys it as "v" (qv/jv/xv/yv). The front-end folds the
+    spelling so standard input synthesizes without the keyboard convention."""
+    for std, v_form in [("qu4", "qv4"), ("yuan2", "yvan2"), ("xue2", "xve2"),
+                        ("jun1", "jvn1"), ("yu3", "yv3")]:
+        assert _symbols(std) == _symbols(v_form), std
+    # "u" after other initials is a true u and must NOT fold
+    (toks,) = _symbols("bu4")
+    assert "{u_c$tone4" in " ".join(toks)
