@@ -207,6 +207,21 @@ class TTSService:
             raise RuntimeError("TTSService is closed")
         if not symbol_seqs:
             raise ValueError("empty request")
+        # validate on the caller thread so a malformed utterance rejects THIS
+        # request with a clean error instead of poisoning a whole coordinator
+        # batch: unknown symbols raise here (encode is memoized and cheap),
+        # and lengths beyond the model's static position tables
+        # (config max_len, reference configs/sambert_16k.yaml:8) are refused
+        # the way the reference's front-end sentence splitting avoids them.
+        max_syms = int(self.am_model.config.get("max_len", 800))
+        for seq in symbol_seqs:
+            n = len(self.ling_unit.encode_symbol_sequence(seq)[0]) - 1
+            if n < 1:
+                raise ValueError("empty utterance in request")
+            if n > max_syms:
+                raise ValueError(
+                    f"utterance has {n} symbols, over the model's max_len "
+                    f"{max_syms}; split the text into shorter sentences")
         req = _Request([_Utterance(s) for s in symbol_seqs])
         for utt in req.utts:
             self._queue.put((req, utt))

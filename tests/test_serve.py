@@ -193,3 +193,26 @@ def test_http_roundtrip():
     finally:
         httpd.shutdown()
         service.close()
+
+
+def test_request_validation_rejects_on_caller_thread():
+    """Malformed or oversized utterances reject the offending request with a
+    clean error on the caller thread — they never reach the coordinator, so
+    no co-batched request can be poisoned."""
+    service = _build_service()
+    try:
+        with pytest.raises(ValueError, match="empty"):
+            service.synthesize_symbols([])
+        with pytest.raises(Exception):  # unknown symbol -> codec error
+            service.synthesize_symbols(["{not_a_symbol$tone9$x$y$z$w}"])
+        # over max_len: build a symbol string longer than the tiny max_len
+        sym = "{n_c$tone3$s_begin$word_begin$emotion_neutral$F7}"
+        too_long = " ".join([sym] * (service.am_model.config["max_len"] + 1))
+        with pytest.raises(ValueError, match="max_len"):
+            service.synthesize_symbols([too_long])
+        assert service.stats["batches"] == 0  # nothing reached the device
+        # the service still works afterwards
+        sr, wav = service.synthesize(TEXTS[0])
+        assert len(wav) > 0
+    finally:
+        service.close()
