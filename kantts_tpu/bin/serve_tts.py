@@ -59,9 +59,9 @@ def main():
     service.speaker, service.lang = args.speaker, args.lang
 
     httpd = make_http_server(service, args.host, args.port)
-    logging.info("serving on http://%s:%d (POST /tts, GET /healthz); "
-                 "max_batch=%d window=%.0fms", args.host, args.port,
-                 args.max_batch, args.max_wait_ms)
+    logging.info("serving on http://%s:%d (POST /tts, POST /tts/stream, "
+                 "GET /healthz); max_batch=%d window=%.0fms", args.host,
+                 args.port, args.max_batch, args.max_wait_ms)
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:

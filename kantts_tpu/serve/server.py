@@ -4,6 +4,11 @@ Endpoints:
 - ``POST /tts`` — body is JSON ``{"text": "...", "symbols": ["..."]}``
   (one of the two keys) or a raw ``text/plain`` utterance. Response:
   ``audio/wav`` (PCM16).
+- ``POST /tts/stream`` — same request body (``text`` only); response is a
+  chunked-transfer stream of raw little-endian PCM16 mono samples
+  (``application/octet-stream`` with ``X-Audio-Format: pcm_s16le`` and
+  ``X-Sample-Rate`` headers) — audio starts after the first vocoder chunk,
+  not after whole-utterance synthesis. Causal non-NSF checkpoints only.
 - ``GET /healthz`` — JSON service stats (requests/batches/utterances/...).
 
 Handler threads block inside ``TTSService.synthesize`` while the single
@@ -45,6 +50,10 @@ def make_http_server(service, host: str = "127.0.0.1",
     background thread and shut it down)."""
 
     class Handler(BaseHTTPRequestHandler):
+        # HTTP/1.1 for chunked transfer on /tts/stream; _reply always sets
+        # Content-Length so keep-alive stays correct on the other routes
+        protocol_version = "HTTP/1.1"
+
         def log_message(self, fmt, *args):  # route through logging, not stderr
             logging.info("serve: " + fmt, *args)
 
@@ -66,6 +75,9 @@ def make_http_server(service, host: str = "127.0.0.1",
                 self._reply_json(404, {"error": f"no route {self.path}"})
 
         def do_POST(self):
+            if self.path == "/tts/stream":
+                self._do_stream()
+                return
             if self.path != "/tts":
                 self._reply_json(404, {"error": f"no route {self.path}"})
                 return
@@ -90,6 +102,44 @@ def make_http_server(service, host: str = "127.0.0.1",
                 self._reply_json(500, {"error": repr(e)})
                 return
             self._reply(200, wav_bytes(wav, sr), "audio/wav")
+
+        def _do_stream(self):
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                raw = self.rfile.read(length)
+                ctype = self.headers.get("Content-Type", "")
+                if ctype.startswith("application/json"):
+                    text = str(json.loads(raw.decode("utf-8"))["text"])
+                else:
+                    text = raw.decode("utf-8").strip()
+                # service.stream validates eagerly, so request errors still
+                # map to a clean 400 — past this point the 200 is committed
+                # and a failure can only truncate the chunk stream
+                chunks = service.stream(text)
+            except (KeyError, ValueError, json.JSONDecodeError) as e:
+                self._reply_json(400, {"error": repr(e)})
+                return
+            except Exception as e:
+                logging.exception("stream setup failed")
+                self._reply_json(500, {"error": repr(e)})
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "application/octet-stream")
+            self.send_header("X-Audio-Format", "pcm_s16le")
+            self.send_header("X-Sample-Rate", str(service.sample_rate))
+            self.send_header("X-Channels", "1")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+            try:
+                for chunk in chunks:
+                    pcm = (np.clip(chunk[:, 0], -1.0, 1.0)
+                           * 32767.0).astype("<i2").tobytes()
+                    self.wfile.write(f"{len(pcm):X}\r\n".encode() + pcm
+                                     + b"\r\n")
+                self.wfile.write(b"0\r\n\r\n")
+            except Exception:
+                logging.exception("stream truncated")
+                self.close_connection = True
 
     return ThreadingHTTPServer((host, port), Handler)
 

@@ -59,10 +59,11 @@ def resolve_frontend(frontend: Optional[str]):
 
 
 class _Utterance:
-    __slots__ = ("symbols", "wav", "error")
+    __slots__ = ("symbols", "mel", "wav", "error")
 
     def __init__(self, symbols: str):
         self.symbols = symbols
+        self.mel: Optional[np.ndarray] = None
         self.wav: Optional[np.ndarray] = None
         self.error: Optional[BaseException] = None
 
@@ -203,25 +204,7 @@ class TTSService:
                            timeout: Optional[float] = None
                            ) -> Tuple[int, np.ndarray]:
         """Pre-encoded symbol sequences (the metafile format) -> waveform."""
-        if self._closed:
-            raise RuntimeError("TTSService is closed")
-        if not symbol_seqs:
-            raise ValueError("empty request")
-        # validate on the caller thread so a malformed utterance rejects THIS
-        # request with a clean error instead of poisoning a whole coordinator
-        # batch: unknown symbols raise here (encode is memoized and cheap),
-        # and lengths beyond the model's static position tables
-        # (config max_len, reference configs/sambert_16k.yaml:8) are refused
-        # the way the reference's front-end sentence splitting avoids them.
-        max_syms = int(self.am_model.config.get("max_len", 800))
-        for seq in symbol_seqs:
-            n = len(self.ling_unit.encode_symbol_sequence(seq)[0]) - 1
-            if n < 1:
-                raise ValueError("empty utterance in request")
-            if n > max_syms:
-                raise ValueError(
-                    f"utterance has {n} symbols, over the model's max_len "
-                    f"{max_syms}; split the text into shorter sentences")
+        self._validate(symbol_seqs)
         req = _Request([_Utterance(s) for s in symbol_seqs])
         for utt in req.utts:
             self._queue.put((req, utt))
@@ -244,6 +227,91 @@ class TTSService:
             self.stats["requests"] += 1
             self.stats["audio_seconds"] += len(wav) / sr
         return sr, wav
+
+    def stream(self, text: str, chunk_seconds: float = 0.3,
+               timeout: Optional[float] = None):
+        """Raw text -> iterator of (chunk_samples, 1) float32 waveform
+        chunks (exact fixed-latency streaming, infer/streaming.py). The
+        acoustic forward still rides the coordinator — a streamed request's
+        mel can batch with concurrent traffic, and sub-sentence i streams
+        while sub-sentence i+1 is being synthesized. Causal single-band
+        non-NSF generators only (the same contract as kantts-stream-tts)."""
+        if self.pqmf is not None:
+            raise ValueError("streaming supports single-band generators "
+                             "(PQMF multiband is whole-utterance only)")
+        if not getattr(self.generator, "causal", False):
+            raise ValueError("streaming requires a causal generator config")
+        if self.nsf_denorm is not None:
+            raise ValueError("streaming does not support NSF checkpoints "
+                             "(the harmonic source phase is a whole-"
+                             "utterance cumsum)")
+        if self._closed:
+            raise RuntimeError("TTSService is closed")
+        fe = self.frontend if self.frontend is not None else resolve_frontend(None)
+        seqs = fe.text_to_symbols([text], speaker=self.speaker,
+                                  lang=self.lang)[0]
+        if isinstance(seqs, str):
+            seqs = [seqs]
+        self._validate(seqs)
+
+        from kantts_tpu.infer.streaming import stream_synthesis
+
+        hop = int(np.prod(self.generator.upsample_scales))
+        chunk_frames = max(1, int(round(
+            chunk_seconds * self.sample_rate / hop)))
+        # one request per sub-sentence so each becomes streamable the moment
+        # its own mel is ready
+        reqs = []
+        for s in seqs:
+            req = _Request([_Utterance(s)])
+            self._queue.put((req, req.utts[0]))
+            reqs.append(req)
+
+        def chunks():
+            sr = self.sample_rate
+            total = 0.0
+            for i, req in enumerate(reqs):
+                if not req.event.wait(timeout):
+                    raise TimeoutError(
+                        f"synthesis timed out after {timeout}s")
+                utt = req.utts[0]
+                if utt.error is not None:
+                    raise utt.error
+                for chunk in stream_synthesis(self.generator,
+                                              self.voc_variables, utt.mel,
+                                              chunk_frames=chunk_frames):
+                    total += chunk.shape[0] / sr
+                    yield chunk
+                pad = (self.gap_seconds if i != len(reqs) - 1
+                       else self.tail_seconds)
+                total += pad
+                yield np.zeros((int(pad * sr), 1), dtype=np.float32)
+            with self._stats_lock:
+                self.stats["requests"] += 1
+                self.stats["audio_seconds"] += total
+
+        return chunks()
+
+    def _validate(self, symbol_seqs: List[str]):
+        """Caller-thread validation: a malformed utterance rejects THIS
+        request with a clean error instead of poisoning a whole coordinator
+        batch. Unknown symbols raise here (encode is memoized and cheap);
+        lengths beyond the model's static position tables (config max_len,
+        reference configs/sambert_16k.yaml:8) are refused the way the
+        reference's front-end sentence splitting avoids them."""
+        if self._closed:
+            raise RuntimeError("TTSService is closed")
+        if not symbol_seqs:
+            raise ValueError("empty request")
+        max_syms = int(self.am_model.config.get("max_len", 800))
+        for seq in symbol_seqs:
+            n = len(self.ling_unit.encode_symbol_sequence(seq)[0]) - 1
+            if n < 1:
+                raise ValueError("empty utterance in request")
+            if n > max_syms:
+                raise ValueError(
+                    f"utterance has {n} symbols, over the model's max_len "
+                    f"{max_syms}; split the text into shorter sentences")
 
     def close(self):
         """Stop the coordinator; pending requests finish first (they are
@@ -282,7 +350,8 @@ class TTSService:
         try:
             mels = self._acoustic_batch([u.symbols for u in utts])
             wavs = self._vocode_batch(mels)
-            for utt, wav in zip(utts, wavs):
+            for utt, mel, wav in zip(utts, mels, wavs):
+                utt.mel = mel  # kept for the streaming path
                 utt.wav = wav
         except BaseException as e:  # propagate to every waiter in the batch
             logging.exception("serve batch failed")

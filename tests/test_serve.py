@@ -216,3 +216,54 @@ def test_request_validation_rejects_on_caller_thread():
         assert len(wav) > 0
     finally:
         service.close()
+
+
+@pytest.mark.slow
+def test_stream_matches_synthesize():
+    """The streamed chunk sequence concatenates to exactly the whole-request
+    waveform (same gaps, same tail), in more than one chunk."""
+    service = _build_service()
+    try:
+        text = "ni3 hao3。 shi4 jie4"  # two sub-sentences
+        sr, expected = service.synthesize(text)
+        chunks = list(service.stream(text, chunk_seconds=0.01))
+        assert len(chunks) > 3
+        wav = np.concatenate([c[:, 0] for c in chunks])
+        assert wav.shape == expected.shape
+        np.testing.assert_allclose(wav, expected, atol=1e-4)
+    finally:
+        service.close()
+
+
+@pytest.mark.slow
+def test_http_stream_roundtrip():
+    service = _build_service()
+    httpd = make_http_server(service, "127.0.0.1", 0)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        sr, expected = service.synthesize(TEXTS[0])
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/tts/stream",
+            data=('{"text": "%s"}' % TEXTS[0]).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            assert resp.headers["X-Audio-Format"] == "pcm_s16le"
+            assert int(resp.headers["X-Sample-Rate"]) == sr
+            body = resp.read()  # urllib re-assembles the chunked transfer
+        pcm = np.frombuffer(body, dtype="<i2").astype(np.float32) / 32767.0
+        assert pcm.shape == expected.shape
+        np.testing.assert_allclose(
+            pcm, np.clip(expected, -1, 1), atol=1.0 / 32767.0)
+
+        # request errors before the stream starts still map to 400
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/tts/stream",
+            data=b'{"text": "blorp9 zzz"}',
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(bad, timeout=30)
+        assert exc.value.code == 400
+    finally:
+        httpd.shutdown()
+        service.close()
