@@ -86,6 +86,7 @@ def bench_hifigan(dtype_name=None):
     if dtype_name is None:
         dtype_name = os.environ.get("KANTTS_BENCH_DTYPE", "bfloat16")
     dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[dtype_name]
+    quant = os.environ.get("KANTTS_BENCH_QUANT") == "1"  # int8 W8A8 variant
 
     sample_rate, hop = 16000, 200
     frames = int(os.environ.get("KANTTS_BENCH_FRAMES", "400"))  # 5 s audio
@@ -98,7 +99,7 @@ def bench_hifigan(dtype_name=None):
     chunks = int(os.environ.get("KANTTS_BENCH_CHUNKS",
                                 "8" if batch == 1 else "0"))
 
-    gen = _hifigan_16k(dtype=dtype)
+    gen = _hifigan_16k(dtype=dtype, quant=quant)
     mel = jnp.asarray(
         np.random.RandomState(0).randn(batch, frames, 80).astype(np.float32)
     )
@@ -142,7 +143,7 @@ def bench_hifigan(dtype_name=None):
         "value": round(xrt, 2),
         "unit": "x_realtime_per_chip",
         "vs_baseline": round(xrt / 10.0, 3),
-        "dtype": dtype_name,
+        "dtype": dtype_name + ("+int8" if quant else ""),
         "chunks": chunks,
         **_mfu_fields(_cost_flops(fwd, params, mel, carry),
                       best_dt / n_iter, dtype_name),

@@ -45,13 +45,15 @@ def binarize(mel, threshold=0.6):
     return res_mel
 
 
-def load_model(ckpt_path, config=None):
+def load_model(ckpt_path, config=None, quant=False):
     if config is None:
         config = load_yaml(os.path.join(
             os.path.dirname(os.path.dirname(ckpt_path)), "config.yaml"))
     gen_cfg = dict(config["Model"]["Generator"]["params"])
     gen_kwargs = _tuplify(gen_cfg)
     gen_kwargs["nsf_params"] = gen_cfg.get("nsf_params")
+    if quant:  # serving-time int8 W8A8 on the same f32 checkpoint
+        gen_kwargs["quant"] = True
     model = Generator(**gen_kwargs)
     with open(ckpt_path, "rb") as f:
         payload = serialization.msgpack_restore(f.read())
@@ -63,8 +65,9 @@ def load_model(ckpt_path, config=None):
 
 
 def hifigan_infer(input_mel, ckpt_path, output_dir, config=None,
-                  frame_bucket: int = 100, chunked: int = 0, batch: int = 1):
-    model, variables, pqmf, config = load_model(ckpt_path, config)
+                  frame_bucket: int = 100, chunked: int = 0, batch: int = 1,
+                  int8: bool = False):
+    model, variables, pqmf, config = load_model(ckpt_path, config, quant=int8)
     sampling_rate = config["audio_config"]["sampling_rate"]
     nsf_enable = config["Model"]["Generator"]["params"].get("nsf_params") is not None
     os.makedirs(output_dir, exist_ok=True)
@@ -213,9 +216,13 @@ def main():
     parser.add_argument("--batch", type=int, default=1, metavar="B",
                         help="cross-utterance batched synthesis: utterances "
                              "per jitted call (offline throughput; exact)")
+    parser.add_argument("--int8", action="store_true",
+                        help="int8 W8A8 on the interior conv stacks (same "
+                             "f32 checkpoint; 2x MXU rate, quality delta "
+                             "reported by tools/quant_report.py)")
     args = parser.parse_args()
     hifigan_infer(args.input_mel, args.ckpt, args.output_dir,
-                  chunked=args.chunked, batch=args.batch)
+                  chunked=args.chunked, batch=args.batch, int8=args.int8)
 
 
 if __name__ == "__main__":

@@ -49,12 +49,16 @@ def main():
                              "dim; see PERFORMANCE.md batch sweep)")
     parser.add_argument("--max_wait_ms", type=float, default=20.0,
                         help="batching window after the first request")
+    parser.add_argument("--int8", action="store_true",
+                        help="serve the vocoder with int8 W8A8 interior "
+                             "convs (same checkpoint; see infer_hifigan "
+                             "--int8)")
     args = parser.parse_args()
 
     service = TTSService.from_checkpoints(
         args.am_ckpt, args.voc_ckpt, frontend=args.frontend,
         se_file=args.se_file, max_batch=args.max_batch,
-        max_wait_ms=args.max_wait_ms)
+        max_wait_ms=args.max_wait_ms, int8=args.int8)
     # the service's speaker/lang tags feed the default front-end
     service.speaker, service.lang = args.speaker, args.lang
 

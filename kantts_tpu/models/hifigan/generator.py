@@ -48,6 +48,12 @@ class Generator(nn.Module):
     use_weight_norm: bool = True
     nsf_params: Optional[dict] = None
     dtype: jnp.dtype = jnp.float32
+    # serving-time int8 W8A8 on the interior conv stacks (same f32
+    # checkpoint; conv_pre / conv_post / NSF source convs stay f32 — the
+    # standard edge-layer exemption). int8 runs the MXU at 2x the bf16 rate
+    # and halves weight/activation HBM traffic; quality cost is measured by
+    # tools/quant_report.py, not assumed.
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, excitation: Optional[jnp.ndarray] = None,
@@ -112,14 +118,16 @@ class Generator(nn.Module):
             rep = WNConv1d(
                 ch, k, padding=(k - 1) // 2, causal=self.causal,
                 use_bias=self.bias, use_weight_norm=self.use_weight_norm,
-                dtype=self.dtype, name=f"repeat_upsamples_{i}",
+                dtype=self.dtype, quant=self.quant,
+                name=f"repeat_upsamples_{i}",
             )(rep)
 
             up = act(h)
             up = WNConvTranspose1d(
                 ch, up_k, stride=scale, padding=(up_k - scale) // 2,
                 causal=self.causal, use_weight_norm=self.use_weight_norm,
-                dtype=self.dtype, name=f"transpose_upsamples_{i}",
+                dtype=self.dtype, quant=self.quant,
+                name=f"transpose_upsamples_{i}",
             )(up)
 
             if nsf_enable:
@@ -144,7 +152,7 @@ class Generator(nn.Module):
                     channels=ch, kernel_size=rk, dilation=tuple(rd),
                     nonlinear_activation=self.nonlinear_activation,
                     nonlinear_activation_params=self.nonlinear_activation_params,
-                    causal=self.causal, dtype=self.dtype,
+                    causal=self.causal, dtype=self.dtype, quant=self.quant,
                     name=f"conv_blocks_{i}_{j}",
                 )(h)
                 acc = out if acc is None else acc + out

@@ -43,6 +43,17 @@ def get_activation(name: str, params: dict | None) -> Callable[[jnp.ndarray], jn
     raise ValueError(f"Unsupported activation: {name}")
 
 
+def _quantize_sym(x: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
+    """Symmetric int8 quantization: round(x/scale) clipped to [-127, 127]."""
+    return jnp.clip(jnp.round(x / scale), -127.0, 127.0).astype(jnp.int8)
+
+
+def _act_scale(x: jnp.ndarray) -> jnp.ndarray:
+    """Dynamic per-tensor activation scale (amax/127) — one cheap reduction
+    per conv call, negligible next to the conv itself."""
+    return jnp.maximum(jnp.max(jnp.abs(x)), 1e-12) / 127.0
+
+
 def _kaiming_uniform_conv_init(key, shape, dtype=jnp.float32):
     """Torch Conv default init: kaiming_uniform(a=sqrt(5)) == U(-b, b) with
     b = sqrt(1 / fan_in); shape is (k, in, out) so fan_in = k * in."""
@@ -78,6 +89,7 @@ class WNConv1d(nn.Module):
     causal: bool = False
     use_weight_norm: bool = True
     dtype: jnp.dtype = jnp.float32
+    quant: bool = False  # serving-time int8 W8A8 on the same f32 params
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -107,15 +119,34 @@ class WNConv1d(nn.Module):
         else:
             pads = [(self.padding, self.padding)]
 
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype),
-            w.astype(self.dtype),
-            window_strides=(self.stride,),
-            padding=pads,
-            rhs_dilation=(self.dilation,),
-            dimension_numbers=("NHC", "HIO", "NHC"),
-            feature_group_count=self.groups,
-        )
+        if self.quant:
+            # int8 conv on the MXU: per-output-channel weight scales
+            # (axes k, in), dynamic per-tensor activation scale; accumulate
+            # in int32 and rescale. Zero padding quantizes to exact zero, so
+            # causal/same padding semantics are unchanged.
+            s_w = jnp.maximum(jnp.max(jnp.abs(w), axis=(0, 1)), 1e-12) / 127.0
+            s_x = _act_scale(x)
+            y = jax.lax.conv_general_dilated(
+                _quantize_sym(x, s_x),
+                _quantize_sym(w, s_w[None, None, :]),
+                window_strides=(self.stride,),
+                padding=pads,
+                rhs_dilation=(self.dilation,),
+                dimension_numbers=("NHC", "HIO", "NHC"),
+                feature_group_count=self.groups,
+                preferred_element_type=jnp.int32,
+            )
+            y = y.astype(jnp.float32) * (s_x * s_w)[None, None, :]
+        else:
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                w.astype(self.dtype),
+                window_strides=(self.stride,),
+                padding=pads,
+                rhs_dilation=(self.dilation,),
+                dimension_numbers=("NHC", "HIO", "NHC"),
+                feature_group_count=self.groups,
+            )
         if self.use_bias:
             b = self.param("bias", _torch_conv_bias_init(k * in_ch // self.groups),
                            (self.features,))
@@ -140,6 +171,7 @@ class WNConvTranspose1d(nn.Module):
     use_bias: bool = True
     use_weight_norm: bool = True
     dtype: jnp.dtype = jnp.float32
+    quant: bool = False  # serving-time int8 W8A8 on the same f32 params
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -161,14 +193,30 @@ class WNConvTranspose1d(nn.Module):
         else:
             w = v
 
-        y = jax.lax.conv_transpose(
-            x.astype(self.dtype),
-            w.astype(self.dtype),
-            strides=(self.stride,),
-            padding="VALID",
-            dimension_numbers=("NHC", "HIO", "NHC"),
-            transpose_kernel=True,
-        )
+        if self.quant:
+            # kernel layout is (k, out, in): per-output-channel scales over
+            # axes (k, in) = (0, 2)
+            s_w = jnp.maximum(jnp.max(jnp.abs(w), axis=(0, 2)), 1e-12) / 127.0
+            s_x = _act_scale(x)
+            y = jax.lax.conv_transpose(
+                _quantize_sym(x, s_x),
+                _quantize_sym(w, s_w[None, :, None]),
+                strides=(self.stride,),
+                padding="VALID",
+                dimension_numbers=("NHC", "HIO", "NHC"),
+                transpose_kernel=True,
+                preferred_element_type=jnp.int32,
+            )
+            y = y.astype(jnp.float32) * (s_x * s_w)[None, None, :]
+        else:
+            y = jax.lax.conv_transpose(
+                x.astype(self.dtype),
+                w.astype(self.dtype),
+                strides=(self.stride,),
+                padding="VALID",
+                dimension_numbers=("NHC", "HIO", "NHC"),
+                transpose_kernel=True,
+            )
         # VALID length = (T-1)*stride + k = T*stride + (k-stride)
         if self.causal:
             y = y[:, : x.shape[1] * self.stride, :]  # trim tail (k - stride)
@@ -192,6 +240,7 @@ class ResidualBlock(nn.Module):
     nonlinear_activation_params: dict | None = None
     causal: bool = False
     dtype: jnp.dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -204,12 +253,14 @@ class ResidualBlock(nn.Module):
             xt = act(x)
             xt = WNConv1d(
                 self.channels, k, padding=(k * d - d) // 2, dilation=d,
-                causal=self.causal, dtype=self.dtype, name=f"convs1_{i}",
+                causal=self.causal, dtype=self.dtype, quant=self.quant,
+                name=f"convs1_{i}",
             )(xt)
             xt = act(xt)
             xt = WNConv1d(
                 self.channels, k, padding=(k - 1) // 2, dilation=1,
-                causal=self.causal, dtype=self.dtype, name=f"convs2_{i}",
+                causal=self.causal, dtype=self.dtype, quant=self.quant,
+                name=f"convs2_{i}",
             )(xt)
             x = xt + x
         return x

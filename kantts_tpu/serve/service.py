@@ -153,15 +153,18 @@ class TTSService:
     @classmethod
     def from_checkpoints(cls, am_ckpt: str, voc_ckpt: str,
                          frontend: Optional[str] = None,
-                         se_file: Optional[str] = None, **kwargs):
+                         se_file: Optional[str] = None, int8: bool = False,
+                         **kwargs):
         """Load both stages the way the inference CLIs do (bin/
         infer_sambert.py, bin/infer_hifigan.py: config.yaml two levels up,
-        msgpack payloads, weight norm folded for serving)."""
+        msgpack payloads, weight norm folded for serving). ``int8`` serves
+        the vocoder with int8 W8A8 interior convs (same checkpoint)."""
         from kantts_tpu.bin.infer_hifigan import load_model
         from kantts_tpu.bin.infer_sambert import denorm_f0, load_am_checkpoint
 
         am_model, am_variables, ling_unit, am_cfg = load_am_checkpoint(am_ckpt)
-        generator, voc_variables, pqmf, voc_cfg = load_model(voc_ckpt)
+        generator, voc_variables, pqmf, voc_cfg = load_model(voc_ckpt,
+                                                             quant=int8)
         sample_rate = voc_cfg["audio_config"]["sampling_rate"]
 
         params_cfg = am_cfg["Model"]["KanTtsSAMBERT"]["params"]

@@ -96,7 +96,8 @@ def build_service(max_batch: int, max_wait_ms: float):
                         resblock_kernel_sizes=(3,),
                         resblock_dilations=((1, 3),), causal=True)
     else:
-        gen = _hifigan_16k(dtype=jnp.bfloat16)
+        gen = _hifigan_16k(dtype=jnp.bfloat16,
+                           quant=os.environ.get("KANTTS_SERVE_INT8") == "1")
     voc_vars = gen.init(jax.random.PRNGKey(2), jnp.zeros((1, 100, 80)))
 
     return TTSService(am, am_vars, lu, gen, voc_vars, sample_rate=16000,
