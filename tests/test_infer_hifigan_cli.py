@@ -47,3 +47,34 @@ def test_chunked_cli_matches_plain(tmp_path):
         # PCM16 quantization absorbs float roundoff; allow 1 LSB
         assert w1.shape == w2.shape
         assert int(np.abs(w1.astype(np.int32) - w2.astype(np.int32)).max()) <= 1
+
+
+def test_int8_cli_close_to_f32(tmp_path):
+    """--int8 serves the same checkpoint with bounded numerical drift."""
+    gen = Generator(**{k: tuple(v) if isinstance(v, list) else v
+                       for k, v in CFG.items()})
+    variables = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 20)))
+    ckpt = tmp_path / "ckpt_0.msgpack"
+    ckpt.write_bytes(serialization.msgpack_serialize(
+        {"model": {"generator": variables["params"]}}))
+    config = {"Model": {"Generator": {"params": dict(CFG)}},
+              "audio_config": {"sampling_rate": 16000}}
+
+    mel_dir = tmp_path / "mels"
+    mel_dir.mkdir()
+    np.save(mel_dir / "utt1.npy",
+            np.random.RandomState(0).randn(73, 20).astype(np.float32))
+
+    from scipy.io import wavfile
+
+    out_f32, out_int8 = tmp_path / "f32", tmp_path / "int8"
+    hifigan_infer(str(mel_dir), str(ckpt), str(out_f32), config=config)
+    hifigan_infer(str(mel_dir), str(ckpt), str(out_int8), config=config,
+                  int8=True)
+    _, w1 = wavfile.read(out_f32 / "utt1.wav")
+    _, w2 = wavfile.read(out_int8 / "utt1.wav")
+    a, b = w1.astype(np.float64), w2.astype(np.float64)
+    assert a.shape == b.shape
+    rel = np.linalg.norm(b - a) / max(np.linalg.norm(a), 1e-9)
+    assert rel < 0.05, rel
+    assert np.corrcoef(a, b)[0, 1] > 0.995
