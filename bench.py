@@ -50,7 +50,11 @@ def _chip_peak_tflops(dtype_name: str) -> float:
     """Matmul peak used for MFU accounting. Default: v5e bf16 peak (197
     TFLOP/s). f32 matmuls lower to bf16x3 passes on the MXU (~1/4-1/6 of
     bf16 peak); we still normalize f32 MFU against the bf16 peak so the two
-    numbers are on one scale — override with KANTTS_CHIP_PEAK_TFLOPS."""
+    numbers are on one scale — override with KANTTS_CHIP_PEAK_TFLOPS.
+    int8 runs the MXU at 2x the bf16 rate (v5e: 394 TOPS), so int8 rows
+    normalize against that peak (KANTTS_CHIP_PEAK_TFLOPS_INT8)."""
+    if "int8" in dtype_name:
+        return float(os.environ.get("KANTTS_CHIP_PEAK_TFLOPS_INT8", "394"))
     return float(os.environ.get("KANTTS_CHIP_PEAK_TFLOPS", "197"))
 
 
@@ -98,6 +102,12 @@ def bench_hifigan(dtype_name=None):
     # KANTTS_BENCH_CHUNKS=0 restores the plain single-program measurement.
     chunks = int(os.environ.get("KANTTS_BENCH_CHUNKS",
                                 "8" if batch == 1 else "0"))
+    if quant and chunks:
+        # chunked windowing is a bit-exactness contract; int8's dynamic
+        # per-example scales break it, so the int8 bench measures the
+        # plain whole-utterance program
+        print("int8: forcing KANTTS_BENCH_CHUNKS=0", file=sys.stderr)
+        chunks = 0
 
     gen = _hifigan_16k(dtype=dtype, quant=quant)
     mel = jnp.asarray(
@@ -146,7 +156,8 @@ def bench_hifigan(dtype_name=None):
         "dtype": dtype_name + ("+int8" if quant else ""),
         "chunks": chunks,
         **_mfu_fields(_cost_flops(fwd, params, mel, carry),
-                      best_dt / n_iter, dtype_name),
+                      best_dt / n_iter,
+                      dtype_name + ("+int8" if quant else "")),
     }
 
 

@@ -96,6 +96,12 @@ def hifigan_infer(input_mel, ckpt_path, output_dir, config=None,
         if pqmf is not None or not model.causal:
             raise SystemExit(
                 "--chunked requires a causal, fullband generator")
+        if int8:
+            raise SystemExit(
+                "--chunked and --int8 are mutually exclusive: chunked "
+                "inference is built on bit-exact windowing, and int8's "
+                "dynamic per-example activation scales differ between a "
+                "window and the full utterance")
 
         def synth(mel):
             fn = make_chunked_infer(model, int(mel.shape[1]), chunked)

@@ -49,9 +49,13 @@ def _quantize_sym(x: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
 
 
 def _act_scale(x: jnp.ndarray) -> jnp.ndarray:
-    """Dynamic per-tensor activation scale (amax/127) — one cheap reduction
-    per conv call, negligible next to the conv itself."""
-    return jnp.maximum(jnp.max(jnp.abs(x)), 1e-12) / 127.0
+    """Dynamic PER-EXAMPLE activation scale ((B,1,1) amax/127) — one cheap
+    reduction per conv call. Per-example (not per-tensor) so that batch
+    composition cannot change any item's quantization: an utterance served
+    at B=1 and the same utterance co-batched with louder traffic quantize
+    identically (the invariant the batching server documents)."""
+    return jnp.maximum(
+        jnp.max(jnp.abs(x), axis=(1, 2), keepdims=True), 1e-12) / 127.0
 
 
 def _kaiming_uniform_conv_init(key, shape, dtype=jnp.float32):
@@ -136,7 +140,7 @@ class WNConv1d(nn.Module):
                 feature_group_count=self.groups,
                 preferred_element_type=jnp.int32,
             )
-            y = y.astype(jnp.float32) * (s_x * s_w)[None, None, :]
+            y = y.astype(jnp.float32) * (s_x * s_w[None, None, :])
         else:
             y = jax.lax.conv_general_dilated(
                 x.astype(self.dtype),
@@ -207,7 +211,7 @@ class WNConvTranspose1d(nn.Module):
                 transpose_kernel=True,
                 preferred_element_type=jnp.int32,
             )
-            y = y.astype(jnp.float32) * (s_x * s_w)[None, None, :]
+            y = y.astype(jnp.float32) * (s_x * s_w[None, None, :])
         else:
             y = jax.lax.conv_transpose(
                 x.astype(self.dtype),

@@ -87,6 +87,10 @@ def make_http_server(service, host: str = "127.0.0.1",
                 ctype = self.headers.get("Content-Type", "")
                 if ctype.startswith("application/json"):
                     payload = json.loads(raw.decode("utf-8"))
+                    if not isinstance(payload, dict):
+                        raise ValueError(
+                            "JSON body must be an object with a 'text' or "
+                            "'symbols' key")
                     if "symbols" in payload:
                         sr, wav = service.synthesize_symbols(
                             list(payload["symbols"]))
@@ -94,7 +98,8 @@ def make_http_server(service, host: str = "127.0.0.1",
                         sr, wav = service.synthesize(str(payload["text"]))
                 else:
                     sr, wav = service.synthesize(raw.decode("utf-8").strip())
-            except (KeyError, ValueError, json.JSONDecodeError) as e:
+            except (KeyError, TypeError, ValueError,
+                    json.JSONDecodeError) as e:
                 self._reply_json(400, {"error": repr(e)})
                 return
             except Exception as e:  # synthesis failure: surface, keep serving
@@ -109,14 +114,19 @@ def make_http_server(service, host: str = "127.0.0.1",
                 raw = self.rfile.read(length)
                 ctype = self.headers.get("Content-Type", "")
                 if ctype.startswith("application/json"):
-                    text = str(json.loads(raw.decode("utf-8"))["text"])
+                    payload = json.loads(raw.decode("utf-8"))
+                    if not isinstance(payload, dict):
+                        raise ValueError(
+                            "JSON body must be an object with a 'text' key")
+                    text = str(payload["text"])
                 else:
                     text = raw.decode("utf-8").strip()
                 # service.stream validates eagerly, so request errors still
                 # map to a clean 400 — past this point the 200 is committed
                 # and a failure can only truncate the chunk stream
                 chunks = service.stream(text)
-            except (KeyError, ValueError, json.JSONDecodeError) as e:
+            except (KeyError, TypeError, ValueError,
+                    json.JSONDecodeError) as e:
                 self._reply_json(400, {"error": repr(e)})
                 return
             except Exception as e:

@@ -59,10 +59,11 @@ def resolve_frontend(frontend: Optional[str]):
 
 
 class _Utterance:
-    __slots__ = ("symbols", "mel", "wav", "error")
+    __slots__ = ("symbols", "mel_only", "mel", "wav", "error")
 
-    def __init__(self, symbols: str):
+    def __init__(self, symbols: str, mel_only: bool = False):
         self.symbols = symbols
+        self.mel_only = mel_only  # streaming: vocoding happens chunk-wise
         self.mel: Optional[np.ndarray] = None
         self.wav: Optional[np.ndarray] = None
         self.error: Optional[BaseException] = None
@@ -139,6 +140,10 @@ class TTSService:
         self._vocode_fn = _vocode
 
         self._queue: "queue.Queue" = queue.Queue()
+        # serializes {closed-check + enqueue} against close()'s
+        # {set closed + sentinel}: without it a request could slip its items
+        # in AFTER the shutdown sentinel and wait forever
+        self._submit_lock = threading.Lock()
         self._stats_lock = threading.Lock()
         self.stats = {"requests": 0, "utterances": 0, "batches": 0,
                       "errors": 0, "audio_seconds": 0.0}
@@ -209,8 +214,11 @@ class TTSService:
         """Pre-encoded symbol sequences (the metafile format) -> waveform."""
         self._validate(symbol_seqs)
         req = _Request([_Utterance(s) for s in symbol_seqs])
-        for utt in req.utts:
-            self._queue.put((req, utt))
+        with self._submit_lock:
+            if self._closed:
+                raise RuntimeError("TTSService is closed")
+            for utt in req.utts:
+                self._queue.put((req, utt))
         if not req.event.wait(timeout):
             raise TimeoutError(f"synthesis timed out after {timeout}s")
         errors = [u.error for u in req.utts if u.error is not None]
@@ -248,6 +256,11 @@ class TTSService:
             raise ValueError("streaming does not support NSF checkpoints "
                              "(the harmonic source phase is a whole-"
                              "utterance cumsum)")
+        if getattr(self.generator, "quant", False):
+            raise ValueError("streaming does not support --int8: dynamic "
+                             "per-example activation scales differ between "
+                             "a streaming window and the full utterance, "
+                             "breaking chunk-boundary exactness")
         if self._closed:
             raise RuntimeError("TTSService is closed")
         fe = self.frontend if self.frontend is not None else resolve_frontend(None)
@@ -265,10 +278,13 @@ class TTSService:
         # one request per sub-sentence so each becomes streamable the moment
         # its own mel is ready
         reqs = []
-        for s in seqs:
-            req = _Request([_Utterance(s)])
-            self._queue.put((req, req.utts[0]))
-            reqs.append(req)
+        with self._submit_lock:
+            if self._closed:
+                raise RuntimeError("TTSService is closed")
+            for s in seqs:
+                req = _Request([_Utterance(s, mel_only=True)])
+                self._queue.put((req, req.utts[0]))
+                reqs.append(req)
 
         def chunks():
             sr = self.sample_rate
@@ -298,10 +314,13 @@ class TTSService:
     def _validate(self, symbol_seqs: List[str]):
         """Caller-thread validation: a malformed utterance rejects THIS
         request with a clean error instead of poisoning a whole coordinator
-        batch. Unknown symbols raise here (encode is memoized and cheap);
-        lengths beyond the model's static position tables (config max_len,
-        reference configs/sambert_16k.yaml:8) are refused the way the
-        reference's front-end sentence splitting avoids them."""
+        batch. Unknown symbols raise here — the O(tokens) python encode is
+        deliberately paid a second time on the request thread (it would
+        otherwise run, and fail, on the single coordinator thread where it
+        serializes against all traffic); lengths beyond the model's static
+        position tables (config max_len, reference
+        configs/sambert_16k.yaml:8) are refused the way the reference's
+        front-end sentence splitting avoids them."""
         if self._closed:
             raise RuntimeError("TTSService is closed")
         if not symbol_seqs:
@@ -319,10 +338,12 @@ class TTSService:
     def close(self):
         """Stop the coordinator; pending requests finish first (they are
         ahead of the sentinel in the queue)."""
-        if not self._closed:
+        with self._submit_lock:
+            if self._closed:
+                return
             self._closed = True
             self._queue.put(_SHUTDOWN)
-            self._thread.join(timeout=60.0)
+        self._thread.join(timeout=60.0)
 
     # ---------------------------------------------------------- coordinator
 
@@ -352,10 +373,17 @@ class TTSService:
         utts = [utt for _, utt in group]
         try:
             mels = self._acoustic_batch([u.symbols for u in utts])
-            wavs = self._vocode_batch(mels)
-            for utt, mel, wav in zip(utts, mels, wavs):
-                utt.mel = mel  # kept for the streaming path
-                utt.wav = wav
+            for utt, mel in zip(utts, mels):
+                utt.mel = mel
+            # streaming (mel_only) utterances are vocoded chunk-wise by the
+            # caller — running them through the batched vocoder here would
+            # synthesize the whole waveform just to throw it away and delay
+            # the first streamed chunk by a full-utterance vocode
+            need_wav = [u for u in utts if not u.mel_only]
+            if need_wav:
+                wavs = self._vocode_batch([u.mel for u in need_wav])
+                for utt, wav in zip(need_wav, wavs):
+                    utt.wav = wav
         except BaseException as e:  # propagate to every waiter in the batch
             logging.exception("serve batch failed")
             with self._stats_lock:

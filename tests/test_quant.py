@@ -69,3 +69,16 @@ def test_quant_nsf_generator_runs():
     # same noise key -> the drift is quantization only
     rel = np.linalg.norm(yq - y) / np.linalg.norm(y)
     assert rel < 0.1, rel
+
+
+def test_quant_batch_composition_invariant():
+    """Per-example activation scales: an utterance quantizes identically
+    alone and co-batched with louder traffic (the batching server's
+    invariant; per-tensor scales would violate it)."""
+    genq = Generator(**KW, quant=True)
+    mel = _mel(B=1, T=50)
+    params = Generator(**KW).init(jax.random.PRNGKey(0), mel)
+    y_alone = np.asarray(genq.apply(params, mel))
+    loud = 50.0 * _mel(B=1, T=50)
+    y_batched = np.asarray(genq.apply(params, jnp.concatenate([mel, loud])))
+    np.testing.assert_array_equal(y_alone[0], y_batched[0])

@@ -183,13 +183,14 @@ def test_http_roundtrip():
             health = json.loads(resp.read())
         assert health["ok"] and health["requests"] >= 1
 
-        # bad request: missing text key -> 400, server stays up
-        bad = urllib.request.Request(
-            f"http://127.0.0.1:{port}/tts", data=b'{"nope": 1}',
-            headers={"Content-Type": "application/json"})
-        with pytest.raises(urllib.error.HTTPError) as exc:
-            urllib.request.urlopen(bad, timeout=30)
-        assert exc.value.code == 400
+        # bad requests: missing text key / non-object JSON -> 400, not 500
+        for body in (b'{"nope": 1}', b'"just a string"'):
+            bad = urllib.request.Request(
+                f"http://127.0.0.1:{port}/tts", data=body,
+                headers={"Content-Type": "application/json"})
+            with pytest.raises(urllib.error.HTTPError) as exc:
+                urllib.request.urlopen(bad, timeout=30)
+            assert exc.value.code == 400, body
     finally:
         httpd.shutdown()
         service.close()
@@ -266,4 +267,29 @@ def test_http_stream_roundtrip():
         assert exc.value.code == 400
     finally:
         httpd.shutdown()
+        service.close()
+
+
+def test_stream_rejects_int8_and_skips_batched_vocode():
+    """int8 + streaming is refused (window scales break chunk exactness),
+    and streamed utterances never run the whole-utterance batched vocoder."""
+    from kantts_tpu.models.hifigan.generator import Generator as Gen
+
+    service = _build_service()
+    try:
+        calls = []
+        inner = service._vocode_fn
+        service._vocode_fn = lambda v, m: (calls.append(1) or inner(v, m))
+
+        chunks = list(service.stream(TEXTS[0], chunk_seconds=0.05))
+        assert chunks and not calls  # mel-only: batched vocoder never ran
+
+        service.generator = Gen(
+            in_channels=10, out_channels=1, channels=16, kernel_size=7,
+            upsample_scales=(4, 4), upsample_kernal_sizes=(8, 8),
+            resblock_kernel_sizes=(3,), resblock_dilations=((1, 3),),
+            causal=True, quant=True)
+        with pytest.raises(ValueError, match="int8"):
+            service.stream(TEXTS[0])
+    finally:
         service.close()

@@ -39,13 +39,9 @@ TEXTS = [
 
 
 def _enable_compile_cache():
-    import jax
+    from bench import _enable_compile_cache as enable
 
-    cache_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        ".jax_compile_cache")
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    enable()
 
 
 def build_service(max_batch: int, max_wait_ms: float):
