@@ -53,6 +53,10 @@ def main():
                         help="serve the vocoder with int8 W8A8 interior "
                              "convs (same checkpoint; see infer_hifigan "
                              "--int8)")
+    parser.add_argument("--warmup_text", type=str, default=None,
+                        help="synthesize this text once before binding the "
+                             "port, so the first live request skips the "
+                             "cold compile (e.g. 'ni3 hao3')")
     args = parser.parse_args()
 
     service = TTSService.from_checkpoints(
@@ -61,6 +65,11 @@ def main():
         max_wait_ms=args.max_wait_ms, int8=args.int8)
     # the service's speaker/lang tags feed the default front-end
     service.speaker, service.lang = args.speaker, args.lang
+
+    if args.warmup_text:
+        logging.info("warmup: synthesizing %r ...", args.warmup_text)
+        dt = service.warmup(args.warmup_text)
+        logging.info("warmup done in %.1fs (programs compiled)", dt)
 
     httpd = make_http_server(service, args.host, args.port)
     logging.info("serving on http://%s:%d (POST /tts, POST /tts/stream, "

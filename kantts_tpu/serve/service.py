@@ -335,6 +335,19 @@ class TTSService:
                     f"utterance has {n} symbols, over the model's max_len "
                     f"{max_syms}; split the text into shorter sentences")
 
+    def warmup(self, text: str, timeout: Optional[float] = None) -> float:
+        """Synthesize ``text`` once and discard the audio — compiles the
+        acoustic + vocoder programs for that bucket so the first live
+        request pays milliseconds, not the cold jit. Returns the wall
+        seconds spent. Call before exposing the port, or per-bucket with
+        representative sentence lengths."""
+        t0 = time.monotonic()
+        self.synthesize(text, timeout=timeout)
+        dt = time.monotonic() - t0
+        with self._stats_lock:  # warmup is not traffic
+            self.stats["requests"] -= 1
+        return dt
+
     def close(self):
         """Stop the coordinator; pending requests finish first (they are
         ahead of the sentinel in the queue)."""

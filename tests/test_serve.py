@@ -293,3 +293,16 @@ def test_stream_rejects_int8_and_skips_batched_vocode():
             service.stream(TEXTS[0])
     finally:
         service.close()
+
+
+def test_warmup_compiles_without_counting_traffic():
+    service = _build_service()
+    try:
+        dt = service.warmup(TEXTS[0])
+        assert dt > 0
+        assert service.stats["requests"] == 0  # warmup is not traffic
+        assert service.stats["batches"] >= 1   # but it did run the programs
+        sr, wav = service.synthesize(TEXTS[0])
+        assert len(wav) > 0 and service.stats["requests"] == 1
+    finally:
+        service.close()
