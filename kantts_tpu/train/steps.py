@@ -397,6 +397,12 @@ def make_sybert_step(model, criterion, tx, train: bool = True, mesh=None):
         loss, err = criterion["SeqCELoss"](
             res["logits"], batch["targets"], batch["loss_masks"]
         )
+        # the reference scales the total by the sy vocab size BEFORE
+        # backward (reference trainer.py:1171 `loss_total / logits.size(-1)`,
+        # same in eval_step :1148) — the scale changes gradients and the
+        # grad-clip threshold's bite, so training dynamics only match if
+        # reproduced (found by tools/cross_stack_sybert_parity.py)
+        loss = loss / res["logits"].shape[-1]
         return loss, {"loss": loss, "error_rate": err}
 
     if not train:

@@ -278,3 +278,16 @@ def convert_msd(sd: Dict[str, np.ndarray], scales=3, n_downs=5,
         for i in range(scales - 1):
             _wnconv_raw(tree, f"aux_convs_{i}", sd, f"aux_convs.{i}", ndim=3)
     return tree
+
+
+def convert_sybert(sd: Dict[str, np.ndarray], cfg: Dict[str, Any]
+                   ) -> Dict[str, Any]:
+    """Reference KanTtsTextsyBERT state dict -> kantts_tpu param tree
+    (reference kantts_sambert.py:1045-1067: TextFftEncoder with the
+    projection deleted, plus the sy-vocab fc head)."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    tree: Dict[str, Any] = {}
+    _text_encoder(tree, "text_encoder", sd, "text_encoder", cfg,
+                  with_proj=False)
+    _linear(tree, "fc", sd, "fc")
+    return tree

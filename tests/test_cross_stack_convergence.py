@@ -105,3 +105,23 @@ def test_gan_adversarial_trajectories_agree():
     xstack = mel_distance(y_t, y_j)
     t_tgt = mel_distance(y_t, wav)
     assert xstack < 0.2 * t_tgt, (xstack, t_tgt)
+
+
+@pytest.mark.slow
+def test_sybert_training_trajectories_agree():
+    """Textsy-BERT masked-LM training tracks the torch reference from
+    identical init — including the reference's 1/sy_vocab loss scaling
+    before backward (reference trainer.py:1171), which changes gradient
+    magnitudes and how the grad clip bites. (The reference model itself is
+    broken at HEAD — its encoder returns 3 values, its sybert forward
+    unpacks 2 — so the harness restores the intended forward; see
+    tools/cross_stack_sybert_parity.py.)"""
+    import tools.cross_stack_sybert_parity as x
+
+    batches = x.make_batches()
+    sd0, traj_t, preds_t = x.train_torch(batches)
+    traj_j, preds_j = x.train_jax(batches, sd0)
+    for (s, lt, _), (_, lj, _) in zip(traj_t, traj_j):
+        assert abs(lj - lt) / max(lt, 1e-9) < 0.05, (s, lt, lj)
+    mask = batches[0]["bert_masks"] > 0
+    assert (preds_t[mask] == preds_j[mask]).mean() > 0.95
