@@ -95,7 +95,10 @@ def make_http_server(service, host: str = "127.0.0.1",
                         sr, wav = service.synthesize_symbols(
                             list(payload["symbols"]))
                     else:
-                        sr, wav = service.synthesize(str(payload["text"]))
+                        sr, wav = service.synthesize(
+                            str(payload["text"]),
+                            speaker=payload.get("speaker"),
+                            lang=payload.get("lang"))
                 else:
                     sr, wav = service.synthesize(raw.decode("utf-8").strip())
             except (KeyError, TypeError, ValueError,
@@ -119,12 +122,14 @@ def make_http_server(service, host: str = "127.0.0.1",
                         raise ValueError(
                             "JSON body must be an object with a 'text' key")
                     text = str(payload["text"])
+                    speaker, lang = payload.get("speaker"), payload.get("lang")
                 else:
                     text = raw.decode("utf-8").strip()
+                    speaker = lang = None
                 # service.stream validates eagerly, so request errors still
                 # map to a clean 400 — past this point the 200 is committed
                 # and a failure can only truncate the chunk stream
-                chunks = service.stream(text)
+                chunks = service.stream(text, speaker=speaker, lang=lang)
             except (KeyError, TypeError, ValueError,
                     json.JSONDecodeError) as e:
                 self._reply_json(400, {"error": repr(e)})

@@ -196,17 +196,24 @@ class TTSService:
                    voc_variables, sample_rate, pqmf=pqmf, frontend=frontend,
                    se=se, nsf_denorm=nsf_denorm, **kwargs)
 
-    def synthesize(self, text: str,
-                   timeout: Optional[float] = None) -> Tuple[int, np.ndarray]:
+    def synthesize(self, text: str, timeout: Optional[float] = None,
+                   speaker: Optional[str] = None,
+                   lang: Optional[str] = None) -> Tuple[int, np.ndarray]:
         """Raw text -> (sample_rate, float32 waveform). Blocks until the
         coordinator has synthesized every sub-sentence; sub-sentence wavs
-        are joined with the reference's silence gaps."""
+        are joined with the reference's silence gaps. ``speaker``/``lang``
+        override the service defaults per request (the CLI's --speaker/
+        --lang, reference text_to_wav.py:97-107); an unknown speaker fails
+        validation with a clean error."""
+        return self.synthesize_symbols(
+            self._text_to_seqs(text, speaker, lang), timeout=timeout)
+
+    def _text_to_seqs(self, text: str, speaker: Optional[str],
+                      lang: Optional[str]) -> List[str]:
         fe = self.frontend if self.frontend is not None else resolve_frontend(None)
-        seqs = fe.text_to_symbols([text], speaker=self.speaker,
-                                  lang=self.lang)[0]
-        if isinstance(seqs, str):
-            seqs = [seqs]
-        return self.synthesize_symbols(seqs, timeout=timeout)
+        seqs = fe.text_to_symbols([text], speaker=speaker or self.speaker,
+                                  lang=lang or self.lang)[0]
+        return [seqs] if isinstance(seqs, str) else list(seqs)
 
     def synthesize_symbols(self, symbol_seqs: List[str],
                            timeout: Optional[float] = None
@@ -240,7 +247,8 @@ class TTSService:
         return sr, wav
 
     def stream(self, text: str, chunk_seconds: float = 0.3,
-               timeout: Optional[float] = None):
+               timeout: Optional[float] = None,
+               speaker: Optional[str] = None, lang: Optional[str] = None):
         """Raw text -> iterator of (chunk_samples, 1) float32 waveform
         chunks (exact fixed-latency streaming, infer/streaming.py). The
         acoustic forward still rides the coordinator — a streamed request's
@@ -263,11 +271,7 @@ class TTSService:
                              "breaking chunk-boundary exactness")
         if self._closed:
             raise RuntimeError("TTSService is closed")
-        fe = self.frontend if self.frontend is not None else resolve_frontend(None)
-        seqs = fe.text_to_symbols([text], speaker=self.speaker,
-                                  lang=self.lang)[0]
-        if isinstance(seqs, str):
-            seqs = [seqs]
+        seqs = self._text_to_seqs(text, speaker, lang)
         self._validate(seqs)
 
         from kantts_tpu.infer.streaming import stream_synthesis

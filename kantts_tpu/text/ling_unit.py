@@ -179,7 +179,13 @@ class KanTtsLinguisticUnit:
 
     def _encode_simple(self, symbols: List[str], lfeat_type: str) -> List[int]:
         vocab = self.vocabs[lfeat_type]
-        seq = [vocab.to_id[s] for s in symbols]
+        seq = []
+        for s in symbols:
+            if s not in vocab.to_id:  # actionable message (e.g. a speaker
+                raise KeyError(       # tag outside the config's speaker_list)
+                    f"unknown {lfeat_type} symbol: {s!r} (not in this "
+                    "model's vocabulary)")
+            seq.append(vocab.to_id[s])
         seq.append(vocab.eos_id)
         return seq
 

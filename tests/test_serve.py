@@ -306,3 +306,16 @@ def test_warmup_compiles_without_counting_traffic():
         assert len(wav) > 0 and service.stats["requests"] == 1
     finally:
         service.close()
+
+
+def test_per_request_speaker_and_lang():
+    """speaker/lang override per request (the CLI's --speaker/--lang); an
+    unknown speaker rejects with an actionable error, not a device fault."""
+    service = _build_service()
+    try:
+        sr, wav = service.synthesize(TEXTS[0], speaker="F7")
+        assert len(wav) > 0
+        with pytest.raises(KeyError, match="speaker"):
+            service.synthesize(TEXTS[0], speaker="F99")
+    finally:
+        service.close()
