@@ -70,7 +70,10 @@ def make_http_server(service, host: str = "127.0.0.1",
 
         def do_GET(self):
             if self.path == "/healthz":
-                self._reply_json(200, {"ok": True, **service.stats})
+                stats = (service.stats_snapshot()
+                         if hasattr(service, "stats_snapshot")
+                         else service.stats)
+                self._reply_json(200, {"ok": True, **stats})
             else:
                 self._reply_json(404, {"error": f"no route {self.path}"})
 

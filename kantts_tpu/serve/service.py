@@ -32,6 +32,7 @@ reference's 0.28 s gaps / 0.05 s tail (reference text_to_wav.py:30-70).
 
 from __future__ import annotations
 
+import collections
 import importlib
 import logging
 import os
@@ -147,6 +148,7 @@ class TTSService:
         self._stats_lock = threading.Lock()
         self.stats = {"requests": 0, "utterances": 0, "batches": 0,
                       "errors": 0, "audio_seconds": 0.0}
+        self._latencies = collections.deque(maxlen=512)  # rolling window
         self._closed = False
         self._thread = threading.Thread(target=self._coordinator,
                                         name="kantts-serve-batcher",
@@ -220,6 +222,7 @@ class TTSService:
                            ) -> Tuple[int, np.ndarray]:
         """Pre-encoded symbol sequences (the metafile format) -> waveform."""
         self._validate(symbol_seqs)
+        t0 = time.monotonic()
         req = _Request([_Utterance(s) for s in symbol_seqs])
         with self._submit_lock:
             if self._closed:
@@ -228,6 +231,7 @@ class TTSService:
                 self._queue.put((req, utt))
         if not req.event.wait(timeout):
             raise TimeoutError(f"synthesis timed out after {timeout}s")
+        self._latencies.append(time.monotonic() - t0)
         errors = [u.error for u in req.utts if u.error is not None]
         if errors:
             raise errors[0]
@@ -339,6 +343,19 @@ class TTSService:
                     f"utterance has {n} symbols, over the model's max_len "
                     f"{max_syms}; split the text into shorter sentences")
 
+    def stats_snapshot(self) -> dict:
+        """Counters plus rolling latency percentiles over the last 512
+        requests (served by GET /healthz)."""
+        with self._stats_lock:
+            snap = dict(self.stats)
+            lats = list(self._latencies)
+        if lats:
+            snap["latency_p50_ms"] = round(
+                float(np.percentile(lats, 50)) * 1e3, 1)
+            snap["latency_p95_ms"] = round(
+                float(np.percentile(lats, 95)) * 1e3, 1)
+        return snap
+
     def warmup(self, text: str, timeout: Optional[float] = None) -> float:
         """Synthesize ``text`` once and discard the audio — compiles the
         acoustic + vocoder programs for that bucket so the first live
@@ -350,6 +367,8 @@ class TTSService:
         dt = time.monotonic() - t0
         with self._stats_lock:  # warmup is not traffic
             self.stats["requests"] -= 1
+            if self._latencies:  # nor is its compile time a latency sample
+                self._latencies.pop()
         return dt
 
     def close(self):

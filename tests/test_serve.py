@@ -319,3 +319,18 @@ def test_per_request_speaker_and_lang():
             service.synthesize(TEXTS[0], speaker="F99")
     finally:
         service.close()
+
+
+def test_healthz_latency_percentiles():
+    service = _build_service()
+    try:
+        service.warmup(TEXTS[0])
+        snap0 = service.stats_snapshot()
+        assert "latency_p50_ms" not in snap0  # warmup samples excluded
+        for t in TEXTS[:3]:
+            service.synthesize(t)
+        snap = service.stats_snapshot()
+        assert snap["requests"] == 3
+        assert 0 < snap["latency_p50_ms"] <= snap["latency_p95_ms"]
+    finally:
+        service.close()
