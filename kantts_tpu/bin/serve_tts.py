@@ -18,7 +18,9 @@ from __future__ import annotations
 import argparse
 import logging
 import os
+import signal
 import sys
+import threading
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))))
@@ -75,6 +77,11 @@ def main():
     logging.info("serving on http://%s:%d (POST /tts, POST /tts/stream, "
                  "GET /healthz); max_batch=%d window=%.0fms", args.host,
                  args.port, args.max_batch, args.max_wait_ms)
+    # SIGTERM (the orchestrator's stop signal) drains like Ctrl-C: stop
+    # accepting, finish in-flight batches, exit 0. shutdown() must run off
+    # the serve_forever thread, hence the helper thread.
+    signal.signal(signal.SIGTERM, lambda *_: threading.Thread(
+        target=httpd.shutdown, daemon=True).start())
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:
@@ -82,6 +89,7 @@ def main():
     finally:
         httpd.shutdown()
         service.close()
+        logging.info("drained and stopped")
 
 
 if __name__ == "__main__":
