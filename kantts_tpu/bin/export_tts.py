@@ -42,6 +42,10 @@ def main():
                        help="static mel budget (default: 24 frames/symbol)")
     p_exp.add_argument("--chunked", type=int, default=0, metavar="N",
                        help="chunked-batch vocoder epilogue (causal fullband)")
+    p_exp.add_argument("--int8", action="store_true",
+                       help="bake int8 W8A8 interior vocoder convs into the "
+                            "artifact (same checkpoint; see infer_hifigan "
+                            "--int8)")
     p_exp.add_argument("--platforms", default="cpu,tpu",
                        help="comma-separated lowering targets")
 
@@ -63,6 +67,7 @@ def main():
             max_output_len=args.max_output_len,
             n_chunks=args.chunked,
             platforms=tuple(args.platforms.split(",")),
+            int8=args.int8,
         )
         logging.info("Exported %s (platforms %s) to %s",
                      meta["kind"], meta["platforms"], args.output_dir)

@@ -55,6 +55,7 @@ def export_fused_tts(
     n_chunks: int = 0,
     frames_per_symbol: int = 24,
     platforms=("cpu", "tpu"),
+    int8: bool = False,
 ) -> dict:
     """Export the fused symbols->waveform program as a serving artifact.
 
@@ -65,6 +66,9 @@ def export_fused_tts(
         (causal fullband generators only; waveform-identical, better MXU
         occupancy — see infer/chunked.py).
     platforms: lowering targets; the default artifact runs on CPU and TPU.
+    int8: bake the vocoder's int8-W8A8 interior convs into the artifact
+        (same checkpoint; mutually exclusive with n_chunks — dynamic scales
+        break chunked windowing's exactness, see infer_hifigan --int8).
 
     Returns the meta dict (also written to meta.json).
     """
@@ -78,12 +82,15 @@ def export_fused_tts(
     from kantts_tpu.infer.e2e import make_fused_infer
 
     am_model, am_vars, ling_unit, am_config = load_am_checkpoint(am_ckpt)
-    generator, voc_vars, pqmf, voc_config = load_voc(voc_ckpt)
+    generator, voc_vars, pqmf, voc_config = load_voc(voc_ckpt, quant=int8)
     if pqmf is not None:
         raise ValueError(
             "export_fused_tts supports fullband generators only "
             "(out_channels=1); multiband serving should export the mel "
             "program and run PQMF synthesis host-side")
+    if int8 and n_chunks:
+        raise ValueError("int8 and the chunked epilogue are mutually "
+                         "exclusive (see infer_hifigan --int8)")
 
     r = am_model.config["outputs_per_step"]
     if max_output_len is None:
