@@ -146,6 +146,7 @@ def export_fused_tts(
         "sampling_rate": int(
             voc_config.get("audio_config", {}).get("sampling_rate", 16000)),
         "nsf_enable": bool(getattr(generator, "nsf_params", None)),
+        "int8": bool(int8),
     }
     with open(os.path.join(out_dir, META_FILE), "w") as f:
         json.dump(meta, f, indent=2)

@@ -20,3 +20,27 @@ if "jax" in sys.modules:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+
+
+import gc
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Release compiled executables after each test module.
+
+    The full suite compiles hundreds of XLA:CPU programs in one process;
+    keeping every LoadedExecutable alive for the whole run eventually
+    segfaults the compiler mid-`backend_compile_and_load` (observed twice,
+    nondeterministic test, only when fast+slow run together — each tier
+    alone is green). Jitted functions are per-module closures, so dropping
+    the caches between modules costs a few library-level recompiles and
+    bounds the JIT arena instead.
+    """
+    yield
+    import jax
+
+    jax.clear_caches()
+    gc.collect()

@@ -436,6 +436,15 @@ def test_exported_serving_artifact(trained_sambert, trained_hifigan, tmp_path):
     np.testing.assert_allclose(wav, np.asarray(wav_ref)[0, : len(wav), 0],
                                atol=1e-5)
 
+    # int8 artifact: same checkpoint, bounded drift vs the f32 artifact
+    art8 = tmp_path / "artifact_int8"
+    export_fused_tts(am_ckpt, voc_ckpt, str(art8), max_input_len=32,
+                     max_output_len=48, platforms=("cpu",), int8=True)
+    wav8, n8 = ExportedTTS(str(art8)).synthesize(sym)
+    assert n8 == n_frames and np.isfinite(wav8).all()
+    rel = np.linalg.norm(wav8 - wav) / max(np.linalg.norm(wav), 1e-9)
+    assert rel < 0.05, rel
+
 def test_hifigan_batched_infer_matches_single(trained_hifigan, tmp_path):
     """Cross-utterance batched vocoder synthesis (--batch) writes the same
     wavs as the per-utterance path: batch items never interact in the conv
