@@ -97,11 +97,16 @@ class FpCELoss:
         self.weights = 1.0
 
     def __call__(self, input_lengths, fp_pd, fp_label):
-        """fp_pd: (B, T, 4) probabilities (the reference model emits softmax
-        output and feeds CrossEntropyLoss — i.e. double softmax; reproduced)."""
+        """fp_pd: (B, T, 4) probabilities. The reference model emits softmax
+        output (kantts_sambert.py:708) and feeds it straight into
+        CrossEntropyLoss (loss.py:100), which applies ANOTHER log_softmax to
+        the probabilities as if they were logits — so the effective loss is
+        -w*log_softmax(p), NOT -w*log(p). Reproduced exactly (verified by
+        the FP trajectory-parity harness, tools/cross_stack_parity.py --fp;
+        taking log(p) first would un-do the double softmax and overstate
+        the loss by ~30% at init)."""
         valid = ~get_mask_from_lengths(input_lengths, fp_label.shape[1])
-        logits = jnp.log(jnp.clip(fp_pd, 1e-20, None))
-        logp = jax.nn.log_softmax(logits, axis=-1)
+        logp = jax.nn.log_softmax(fp_pd, axis=-1)
         onehot = jax.nn.one_hot(fp_label, 4)
         w = self.weight[fp_label]
         ce = -(onehot * logp).sum(-1) * w

@@ -184,14 +184,17 @@ class FP_Predictor(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         cfg = self.config
+        # the reference hardcodes Dropout(0.1); fp_dropout exists so parity
+        # harnesses can zero it for deterministic cross-stack trajectories
+        p_drop = cfg.get("fp_dropout", 0.1)
         h = conv1d_same(cfg["embedding_dim"] // 2, 3, name="w_1")(x)
         h = jax.nn.relu(h)
         h = nn.LayerNorm(epsilon=1e-6, name="layer_norm1")(h)
-        h = nn.Dropout(0.1, deterministic=deterministic)(h)
+        h = nn.Dropout(p_drop, deterministic=deterministic)(h)
         h = conv1d_same(cfg["encoder_projection_units"], 1, name="w_2")(h)
         h = jax.nn.relu(h)
         h = nn.LayerNorm(epsilon=1e-6, name="layer_norm2")(h)
-        h = nn.Dropout(0.1, deterministic=deterministic)(h)
+        h = nn.Dropout(p_drop, deterministic=deterministic)(h)
         return jax.nn.softmax(torch_linear(4, name="fc")(h), axis=-1)
 
 

@@ -76,6 +76,42 @@ def test_mas_training_trajectories_agree():
     assert mcd < 5.0, f"cross-stack MAS MCD too high: {mcd:.3f} dB"
 
 
+def test_fp_training_trajectories_agree():
+    """FP (filled-pause) path: fp-labeled splice training tracks the torch
+    reference from identical init — the reference's python per-item
+    insert_fp vs our host plan + in-graph gather, plus the FpCELoss
+    double-softmax semantics (CrossEntropyLoss applied to the
+    FP_Predictor's softmax OUTPUT, reference loss.py:100 — this test guards
+    the exact reproduction of that quirk)."""
+    from kantts_tpu.utils.metrics import mel_cepstral_distortion
+    from tests.test_torch_parity import _install_stubs
+    from tools.cross_stack_parity import make_corpus, train_jax, train_torch
+
+    _install_stubs()
+    n_steps = 60
+    batch = make_corpus(mas=False, fp=True)
+    sd0, traj_t, post_tf_t, _, _ = train_torch(batch, n_steps, mas=False,
+                                               fp=True)
+    traj_j, post_tf_j, _, _, _ = train_jax(batch, sd0, n_steps, mas=False,
+                                           fp=True)
+
+    first = min(traj_t)
+    assert abs(traj_t[first]["TotalLoss"] - traj_j[first]["TotalLoss"]) < 0.02
+    assert abs(traj_t[first]["fp_loss"] - traj_j[first]["fp_loss"]) < 0.01
+
+    for step in traj_t:
+        tt, tj = traj_t[step]["TotalLoss"], traj_j[step]["TotalLoss"]
+        assert abs(tt - tj) / tt < 0.10, (step, tt, tj)
+        ft, fj = traj_t[step]["fp_loss"], traj_j[step]["fp_loss"]
+        assert abs(ft - fj) / max(ft, 1e-9) < 0.10, (step, ft, fj)
+
+    mcd = np.mean([
+        mel_cepstral_distortion(post_tf_t[i], post_tf_j[i], use_dtw=False)
+        for i in range(post_tf_t.shape[0])
+    ])
+    assert mcd < 2.5, f"cross-stack FP MCD too high: {mcd:.3f} dB"
+
+
 def test_gan_adversarial_trajectories_agree():
     """HiFi-GAN adversarial loop: G/D losses from identical init (incl.
     converted discriminators) must track the reference's trajectory, and the

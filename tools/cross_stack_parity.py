@@ -14,8 +14,16 @@ Viterbi binarization (alignment.py:32-71, numba stubbed to pure python) and
 the CTC+KL alignment losses (trainer.py:971-984), the JAX side the in-graph
 scan kernel. Adds a hard-duration (alignment) agreement metric.
 
-Run (CPU): JAX_PLATFORMS=cpu python tools/cross_stack_parity.py [steps] [--mas]
-Writes cross_stack_parity{_mas}.json next to this file and prints a table.
+``--fp`` switches to the filled-pause configuration (FP=True): fp-labeled
+inputs, the FpCELoss term (reference trainer.py:865-869), duration/prosody
+targets on the SPLICED (extended) grid; the torch side runs the reference's
+python per-item insert_fp splice (kantts_sambert.py:766-860), the JAX side
+the host insertion plan + in-graph gather. FP_Predictor's hardcoded
+Dropout(0.1) is zeroed on both stacks (the only nonzero-dropout module in
+the tiny config) so trajectories are deterministic and comparable.
+
+Run (CPU): JAX_PLATFORMS=cpu python tools/cross_stack_parity.py [steps] [--mas|--fp]
+Writes cross_stack_parity{_mas,_fp}.json next to this file and prints a table.
 """
 
 import json
@@ -30,7 +38,17 @@ import numpy as np
 from tests.test_torch_parity import TINY_CFG, _install_stubs
 
 MAS = "--mas" in sys.argv
+FP = "--fp" in sys.argv
+assert not (MAS and FP), "--mas and --fp are mutually exclusive"
 CFG = dict(TINY_CFG, MAS=True) if MAS else TINY_CFG
+
+
+def _cfg(mas, fp):
+    if mas:
+        return dict(TINY_CFG, MAS=True)
+    if fp:
+        return dict(TINY_CFG, FP=True, fp_dropout=0.0)
+    return TINY_CFG
 # KL warmup: both stacks use epoch=10 with warmup_epoch=10 -> full weight
 KL_EPOCH, KL_WARMUP = 10, 10
 
@@ -53,10 +71,11 @@ NUM_MELS = TINY_CFG["num_mels"]
 LR = 1e-3
 
 
-def make_corpus(mas=None):
+def make_corpus(mas=None, fp=None):
     """Deterministic structured mel targets (smooth per-utterance patterns,
     so MCD is meaningful) + durations/pitch/energy."""
     mas = MAS if mas is None else mas
+    fp = FP if fp is None else fp
     rng = np.random.RandomState(0)
     t = np.arange(T_MEL)[:, None] / T_MEL
     m = np.arange(NUM_MELS)[None, :] / NUM_MELS
@@ -93,12 +112,48 @@ def make_corpus(mas=None):
         prior = np.asarray(beta_binomial_prior_distribution(T_IN, T_MEL),
                            dtype=np.float32)
         batch["attn_priors"] = np.broadcast_to(prior, (B,) + prior.shape).copy()
+    if fp:
+        # FP data contract (reference dataset fp_label + trainer.py:820-869):
+        # per-token filler classes in {0..3}; duration/pitch/energy targets
+        # live on the SPLICED grid (each filler adds 3 slots). The host plan
+        # (our collate-side analogue) pads the extended grid to a static
+        # bucket L; the torch side slices to max(inter_lengths).
+        from kantts_tpu.models.sambert.fp import build_fp_insertion_plan
+
+        fp_label = np.zeros((B, T_IN), dtype=np.int64)
+        for b in range(B):
+            for k in range(b % 3):  # 0/1/2 fillers per item, classes 1..3
+                fp_label[b, 2 + 3 * k] = 1 + (b + k) % 3
+        src, f_cls, f_ph, inter, L = build_fp_insertion_plan(
+            fp_label.astype(np.int32),
+            batch["valid_input_lengths"].astype(np.int32))
+        dur = np.zeros((B, L), dtype=np.int64)
+        pitch = np.abs(rng.randn(B, L)).astype(np.float32)
+        energy = np.abs(rng.randn(B, L)).astype(np.float32)
+        for b in range(B):
+            n = int(inter[b])
+            dur[b, :n] = T_MEL // n
+            dur[b, n - 1] += T_MEL - dur[b].sum()
+            # zero past inter_length: collate zero-pads prosody targets and
+            # the k=9 embedding convs see the padding (same contract as
+            # tests/test_fp_torch_parity.py)
+            pitch[b, n:] = 0.0
+            energy[b, n:] = 0.0
+        batch["durations"] = dur
+        batch["pitch_contours"] = pitch
+        batch["energy_contours"] = energy
+        batch["fp_label"] = fp_label
+        batch["fp_plan"] = (src, f_cls, f_ph, inter)
+        batch["fp_t_ext"] = int(inter.max())
+        # shared filler-word token triples (the reference's ling-unit fpdict)
+        batch["fp_dict_lings"] = rng.randint(0, 5, (3, 3, 4)).astype(np.int64)
     return batch
 
 
-def train_torch(batch, n_steps, mas=None):
+def train_torch(batch, n_steps, mas=None, fp=None):
     mas = MAS if mas is None else mas
-    cfg = dict(TINY_CFG, MAS=True) if mas else TINY_CFG
+    fp = FP if fp is None else fp
+    cfg = _cfg(mas, fp)
     import torch
     from kantts.models.sambert.kantts_sambert import KanTtsSAMBERT as TorchSambert
     from kantts.train.loss import (
@@ -128,6 +183,25 @@ def train_torch(batch, n_steps, mas=None):
 
         model.binarize_attention_parallel = _types.MethodType(
             _binarize_cpu, model)
+    if fp:
+        # the shared filler-word triples (reference sets model.fp_dict from
+        # the ling unit's get_fpdict, bin/train_sambert.py path)
+        model.fp_dict = {k: torch.from_numpy(batch["fp_dict_lings"][k - 1])
+                         .long().unsqueeze(0) for k in (1, 2, 3)}
+        # zero the hardcoded FP_Predictor Dropout(0.1) for deterministic
+        # trajectories (jax side: fp_dropout=0.0 in _cfg)
+        model.FP_predictor.dropout.p = 0.0
+        model.FP_predictor.dropout_inner.p = 0.0
+        # the reference FpCELoss eagerly .cuda()s its class weights
+        # (loss.py:92) — route to CPU here
+        _orig_cuda = torch.Tensor.cuda
+        torch.Tensor.cuda = lambda self, *a, **k: self
+        try:
+            from kantts.train.loss import FpCELoss
+
+            fp_crit = FpCELoss()
+        finally:
+            torch.Tensor.cuda = _orig_cuda
     # Dead-ReLU guard for the tiny fixed corpus: at the default init the
     # duration head's relu(fc(.)) is 0 for every input, so no gradient ever
     # reaches it (dur_loss stays exactly log(dur+1)) and free-running decode
@@ -148,7 +222,11 @@ def train_torch(batch, n_steps, mas=None):
         kl_crit = AttentionBinarizationLoss(start_epoch=0,
                                             warmup_epoch=KL_WARMUP)
 
-    tb = {k: torch.from_numpy(v) for k, v in batch.items() if v is not None}
+    tb = {k: torch.from_numpy(v) for k, v in batch.items()
+          if isinstance(v, np.ndarray)}
+    # FP: the torch model pads the spliced grid to exactly max(inter_lengths);
+    # slice the bucket-padded host-plan targets down to that
+    t_ext = batch.get("fp_t_ext")
 
     def fwd():
         return model(
@@ -156,10 +234,14 @@ def train_torch(batch, n_steps, mas=None):
             tb["valid_input_lengths"],
             output_lengths=tb["valid_output_lengths"],
             mel_targets=tb["mel_targets"],
-            duration_targets=tb.get("durations"),
-            pitch_targets=tb["pitch_contours"],
-            energy_targets=tb["energy_contours"],
+            duration_targets=(tb["durations"][:, :t_ext] if fp
+                              else tb.get("durations")),
+            pitch_targets=(tb["pitch_contours"][:, :t_ext] if fp
+                           else tb["pitch_contours"]),
+            energy_targets=(tb["energy_contours"][:, :t_ext] if fp
+                            else tb["energy_contours"]),
             attn_priors=tb.get("attn_priors"),
+            fp_label=tb.get("fp_label"),
         )
 
     traj = {}
@@ -185,6 +267,11 @@ def train_torch(batch, n_steps, mas=None):
             total = total + ctc_l + kl_l
             row["attn_ctc_loss"] = float(ctc_l.detach())
             row["attn_kl_loss"] = float(kl_l.detach())
+        if fp:
+            fp_l = fp_crit(tb["valid_input_lengths"], res["fp_predictions"],
+                           tb["fp_label"])
+            total = total + fp_l
+            row["fp_loss"] = float(fp_l.detach())
         total.backward()
         torch.nn.utils.clip_grad_norm_(model.parameters(), 1.0)
         opt.step()
@@ -198,6 +285,11 @@ def train_torch(batch, n_steps, mas=None):
         mas_durations = (res["duration_targets"].numpy().astype(np.float64)
                          if mas else None)
         try:
+            if fp:
+                # free-running FP inference takes the predicted-FP_p argmax
+                # splice (a different, stochastic-count path); the FP parity
+                # claim here is trajectory + teacher-forced
+                raise RuntimeError("skipped in FP mode")
             # one utterance at a time: the reference's incremental PNCA
             # decode is only exercised at B=1 in-tree (text_to_wav) and its
             # batched masks are buggy at B>1
@@ -215,9 +307,10 @@ def train_torch(batch, n_steps, mas=None):
     return sd0, traj, post_tf, post_free, mas_durations
 
 
-def train_jax(batch, sd0, n_steps, mas=None):
+def train_jax(batch, sd0, n_steps, mas=None, fp=None):
     mas = MAS if mas is None else mas
-    cfg = dict(TINY_CFG, MAS=True) if mas else TINY_CFG
+    fp = FP if fp is None else fp
+    cfg = _cfg(mas, fp)
     import jax
     import jax.numpy as jnp
 
@@ -239,6 +332,8 @@ def train_jax(batch, sd0, n_steps, mas=None):
         loss_cfg["AttentionBinarizationLoss"] = {
             "enable": True,
             "params": {"start_epoch": 0, "warmup_epoch": KL_WARMUP}}
+    if fp:
+        loss_cfg["FpCELoss"] = {"enable": True}
     crit = criterion_builder({"Loss": loss_cfg})
     tx, _ = optimizer_builder(
         {"type": "Adam", "params": {"lr": LR, "betas": [0.9, 0.98], "eps": 1e-9}},
@@ -258,9 +353,14 @@ def train_jax(batch, sd0, n_steps, mas=None):
         jb["durations"] = jnp.asarray(batch["durations"].astype(np.float32))
     if batch.get("attn_priors") is not None:
         jb["attn_priors"] = jnp.asarray(batch["attn_priors"])
+    fp_dict_lings = None
+    if fp:
+        jb["fp_label"] = jnp.asarray(batch["fp_label"], dtype=jnp.int32)
+        jb["fp_plan"] = tuple(jnp.asarray(x) for x in batch["fp_plan"])
+        fp_dict_lings = jnp.asarray(batch["fp_dict_lings"], dtype=jnp.int32)
     state = TrainState(params, tx.init(params), jnp.asarray(0, dtype=jnp.int32))
     step_fn = make_sambert_step(model, crit, tx, with_mas=mas,
-                                fp_enable=False)
+                                fp_enable=fp, fp_dict_lings=fp_dict_lings)
     traj = {}
     for step in range(1, n_steps + 1):
         state, metrics = step_fn(state, jb, jax.random.PRNGKey(step),
@@ -272,6 +372,8 @@ def train_jax(batch, sd0, n_steps, mas=None):
             if mas:
                 traj[step]["attn_ctc_loss"] = float(metrics["attn_ctc_loss"])
                 traj[step]["attn_kl_loss"] = float(metrics["attn_kl_loss"])
+            if fp:
+                traj[step]["fp_loss"] = float(metrics["fp_loss"])
 
     variables = {"params": state.params}
     res = model.apply(
@@ -281,11 +383,15 @@ def train_jax(batch, sd0, n_steps, mas=None):
         duration_targets=jb.get("durations"),
         pitch_targets=jb["pitch_contours"],
         energy_targets=jb["energy_contours"],
-        attn_priors=jb.get("attn_priors"), deterministic=True,
+        attn_priors=jb.get("attn_priors"),
+        fp_label=jb.get("fp_label"), fp_plan=jb.get("fp_plan"),
+        fp_dict_lings=fp_dict_lings, deterministic=True,
     )
     post_tf = np.asarray(res["postnet_outputs"])
     mas_durations = (np.asarray(res["duration_targets"]).astype(np.float64)
                      if mas else None)
+    if fp:  # free-running FP takes the predicted-FP_p splice path; the FP
+        return traj, post_tf, None, None, None  # claim is trajectory + TF
     infer = jax.jit(lambda v, l, e, s, ln: sambert_infer(
         model, v, l, e, s, ln, max_output_len=T_MEL * 4))(
         variables, jb["input_lings"], jb["input_emotions"],
@@ -301,8 +407,8 @@ def main():
 
     batch = make_corpus()
     print(f"training both stacks for {N_STEPS} steps (B={B}, "
-          f"MAS={'on' if MAS else 'off'}, identical init, Adam lr={LR}, "
-          f"grad clip 1.0) ...")
+          f"MAS={'on' if MAS else 'off'}, FP={'on' if FP else 'off'}, "
+          f"identical init, Adam lr={LR}, grad clip 1.0) ...")
     sd0, traj_t, post_tf_t, post_free_t, mas_dur_t = train_torch(batch, N_STEPS)
     (traj_j, post_tf_j, post_free_j, free_len_j,
      mas_dur_j) = train_jax(batch, sd0, N_STEPS)
@@ -363,6 +469,7 @@ def main():
     out = {
         "n_steps": N_STEPS,
         "mas": MAS,
+        "fp": FP,
         "t_in": T_IN,
         "t_mel": T_MEL,
         "trajectory": [
@@ -381,6 +488,8 @@ def main():
     suffix = "" if (T_IN, T_MEL) == (10, 24) else f"_{T_IN}x{T_MEL}"
     if MAS:
         suffix += "_mas"
+    if FP:
+        suffix += "_fp"
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         f"cross_stack_parity{suffix}.json")
     with open(path, "w") as f:
