@@ -40,7 +40,6 @@ from tests.test_torch_parity import TINY_CFG, _install_stubs
 MAS = "--mas" in sys.argv
 FP = "--fp" in sys.argv
 assert not (MAS and FP), "--mas and --fp are mutually exclusive"
-CFG = dict(TINY_CFG, MAS=True) if MAS else TINY_CFG
 
 
 def _cfg(mas, fp):
@@ -494,6 +493,7 @@ def main():
                         f"cross_stack_parity{suffix}.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
+        f.write("\n")
     print(f"\nwrote {path}")
 
 
