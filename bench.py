@@ -70,6 +70,32 @@ def _cost_flops(jitted_fn, *args):
         return None
 
 
+def _aot(jitted_fn, *args):
+    """AOT-compile a jitted function for the given args; returns
+    (compiled_executable, flops_or_None). Compilation happens on the remote
+    compile service, so many _aot calls can proceed CONCURRENTLY from
+    threads — the serial-compile pile-up was what pushed round-3's bench
+    past the driver timeout. The executable is also the cost-analysis
+    source, so programs are no longer compiled twice (once for FLOPs, once
+    for the measurement)."""
+    compiled = jitted_fn.lower(*args).compile()
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca["flops"])
+    except Exception:
+        flops = None
+    return compiled, flops
+
+
+# Serializes device EXECUTION (init transfers, warmup, timing loops) while
+# compiles overlap freely; measurements stay honest on the single chip.
+import threading as _threading  # noqa: E402
+
+_DEVICE_LOCK = _threading.Lock()
+
+
 def _mfu_fields(flops, seconds_per_call, dtype_name):
     if flops is None or seconds_per_call <= 0:
         return {}
@@ -81,7 +107,8 @@ def _mfu_fields(flops, seconds_per_call, dtype_name):
             "peak_tflops_used": peak}
 
 
-def bench_hifigan(dtype_name=None):
+def prep_hifigan(dtype_name=None):
+    """Build + AOT-compile the vocoder program (thread-safe; no timing)."""
     import jax
     import jax.numpy as jnp
 
@@ -132,36 +159,51 @@ def bench_hifigan(dtype_name=None):
         )
     )
     carry = jnp.asarray(0.0, dtype=jnp.float32)
-    y, carry = fwd(params, mel, carry)
-    assert y.shape == (batch, frames * hop, 1)
-    _ = float(carry)  # host fetch = the only reliable completion barrier here
+    compiled, flops = _aot(fwd, params, mel, carry)
+    return dict(fn=compiled, params=params, mel=mel, carry=carry,
+                flops=flops, dtype_name=dtype_name, quant=quant,
+                chunks=chunks, batch=batch, frames=frames, hop=hop,
+                sample_rate=sample_rate)
 
+
+def measure_hifigan(prep):
+    """Timing loops for a prepped vocoder program (device-exclusive)."""
+    fwd, params, mel = prep["fn"], prep["params"], prep["mel"]
+    carry = prep["carry"]
+    batch, frames, hop = prep["batch"], prep["frames"], prep["hop"]
     n_iter = int(os.environ.get("KANTTS_BENCH_ITERS", "50"))
-    best_dt = None
-    for _trial in range(3):
-        t0 = time.perf_counter()
-        for _ in range(n_iter):
-            y, carry = fwd(params, mel, carry)
-        _ = float(carry)
-        dt = time.perf_counter() - t0
-        best_dt = dt if best_dt is None else min(best_dt, dt)
+    with _DEVICE_LOCK:
+        y, carry = fwd(params, mel, carry)  # warmup
+        assert y.shape == (batch, frames * hop, 1)
+        _ = float(carry)  # host fetch = the only reliable completion barrier
+        best_dt = None
+        for _trial in range(3):
+            t0 = time.perf_counter()
+            for _ in range(n_iter):
+                y, carry = fwd(params, mel, carry)
+            _ = float(carry)
+            dt = time.perf_counter() - t0
+            best_dt = dt if best_dt is None else min(best_dt, dt)
 
-    audio_seconds = n_iter * batch * frames * hop / sample_rate
+    audio_seconds = n_iter * batch * frames * hop / prep["sample_rate"]
     xrt = audio_seconds / best_dt
+    tag = prep["dtype_name"] + ("+int8" if prep["quant"] else "")
     return {
         "metric": "hifigan16k_copy_synthesis_xrt",
         "value": round(xrt, 2),
         "unit": "x_realtime_per_chip",
         "vs_baseline": round(xrt / 10.0, 3),
-        "dtype": dtype_name + ("+int8" if quant else ""),
-        "chunks": chunks,
-        **_mfu_fields(_cost_flops(fwd, params, mel, carry),
-                      best_dt / n_iter,
-                      dtype_name + ("+int8" if quant else "")),
+        "dtype": tag,
+        "chunks": prep["chunks"],
+        **_mfu_fields(prep["flops"], best_dt / n_iter, tag),
     }
 
 
-def bench_sambert():
+def bench_hifigan(dtype_name=None):
+    return measure_hifigan(prep_hifigan(dtype_name))
+
+
+def prep_sambert():
     import jax
     import jax.numpy as jnp
     import yaml
@@ -201,43 +243,55 @@ def bench_sambert():
     )
     fn = jax.jit(lambda v, l, e, s, ln: sambert_infer(model, v, l, e, s, ln,
                                                       MAXLEN))
-    res = fn(variables, batch["ling"], batch["emo"], batch["spk"],
-             batch["lengths"])
-    _ = float(res["postnet_outputs"].sum())
-
-    n_iter = 10
-    best_dt = None
-    for _trial in range(3):
-        t0 = time.perf_counter()
-        for _ in range(n_iter):
-            res = fn(variables, batch["ling"], batch["emo"], batch["spk"],
-                     batch["lengths"])
-        _ = float(res["postnet_outputs"].sum())
-        dt = (time.perf_counter() - t0) / n_iter
-        best_dt = dt if best_dt is None else min(best_dt, dt)
-
-    frames_per_s = B * MAXLEN / best_dt
+    args = (variables, batch["ling"], batch["emo"], batch["spk"],
+            batch["lengths"])
+    compiled, flops = _aot(fn, *args)
     dtype_name = ("bfloat16" if os.environ.get("KANTTS_SAMBERT_DTYPE")
                   == "bfloat16" else "float32")
+    return dict(fn=compiled, args=args, flops=flops, B=B, T_in=T_in,
+                MAXLEN=MAXLEN, dtype_name=dtype_name)
+
+
+def measure_sambert(prep):
+    fn, args = prep["fn"], prep["args"]
+    B, MAXLEN = prep["B"], prep["MAXLEN"]
+    n_iter = 10
+    with _DEVICE_LOCK:
+        res = fn(*args)  # warmup
+        _ = float(res["postnet_outputs"].sum())
+        best_dt = None
+        for _trial in range(3):
+            t0 = time.perf_counter()
+            for _ in range(n_iter):
+                res = fn(*args)
+            _ = float(res["postnet_outputs"].sum())
+            dt = (time.perf_counter() - t0) / n_iter
+            best_dt = dt if best_dt is None else min(best_dt, dt)
+
+    frames_per_s = B * MAXLEN / best_dt
     return {
         "metric": "sambert16k_infer_mel_frames_per_s",
         "value": round(frames_per_s, 1),
         "unit": "mel_frames_per_sec_per_chip",
         # vs the 10x-realtime north star expressed in frames (80 frames/s * 10)
         "vs_baseline": round(frames_per_s / 800.0, 3),
-        "dtype": dtype_name,
-        "t_in": T_in,
+        "dtype": prep["dtype_name"],
+        "t_in": prep["T_in"],
         "max_output_len": MAXLEN,
-        **_mfu_fields(
-            _cost_flops(fn, variables, batch["ling"], batch["emo"],
-                        batch["spk"], batch["lengths"]),
-            best_dt, dtype_name),
+        **_mfu_fields(prep["flops"], best_dt, prep["dtype_name"]),
     }
 
 
-def bench_train_step():
+def bench_sambert():
+    return measure_sambert(prep_sambert())
+
+
+def prep_train_step(mas: bool = False):
     """SAM-BERT full training step (fwd+bwd+Adam) at the production batch
-    geometry; reference anchor: 1M steps of kantts/bin/train_sambert.py."""
+    geometry; reference anchor: 1M steps of kantts/bin/train_sambert.py.
+    With ``mas=True``, the flagship MAS variant (sambert_16k_MAS.yaml):
+    in-graph Viterbi binarization + CTC/KL alignment losses, frame-level
+    prosody targets, beta-binomial attention prior, no duration targets."""
     import jax
     import jax.numpy as jnp
     import yaml
@@ -248,9 +302,10 @@ def bench_train_step():
     from kantts_tpu.train.states import TrainState
     from kantts_tpu.train.steps import make_sambert_step
 
+    cfg_name = "sambert_16k_MAS.yaml" if mas else "sambert_16k.yaml"
     full = yaml.safe_load(
         open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                          "kantts_tpu/configs/sambert_16k.yaml"))
+                          "kantts_tpu/configs", cfg_name))
     )
     cfg = full["Model"]["KanTtsSAMBERT"]["params"]
     cfg.update(sy=147, tone=10, syllable_flag=8, word_segment=8, emotion=36,
@@ -258,8 +313,6 @@ def bench_train_step():
     model = KanTtsSAMBERT(cfg)
     rng = np.random.RandomState(0)
     B, T_in, T_mel = 32, 96, 576
-    dur = np.full((B, T_in), T_mel // T_in, dtype=np.float32)
-    dur[:, -1] += T_mel - dur[0].sum()
     batch = {
         "input_lings": jnp.asarray(rng.randint(0, 5, (B, T_in, 4)), dtype=jnp.int32),
         "input_emotions": jnp.asarray(rng.randint(0, 4, (B, T_in)), dtype=jnp.int32),
@@ -267,17 +320,33 @@ def bench_train_step():
         "valid_input_lengths": jnp.asarray([T_in] * B),
         "valid_output_lengths": jnp.asarray([T_mel] * B),
         "mel_targets": jnp.asarray(rng.randn(B, T_mel, 80).astype(np.float32)),
-        "pitch_contours": jnp.asarray(np.abs(rng.randn(B, T_in)).astype(np.float32)),
-        "energy_contours": jnp.asarray(np.abs(rng.randn(B, T_in)).astype(np.float32)),
-        "durations": jnp.asarray(dur),
     }
+    if mas:
+        # frame-level prosody targets + normalized attention prior
+        # (reference dataset contract for the MAS path)
+        prior = np.abs(rng.randn(B, T_mel, T_in)).astype(np.float32) + 0.1
+        prior /= prior.sum(axis=2, keepdims=True)
+        batch.update(
+            pitch_contours=jnp.asarray(np.abs(rng.randn(B, T_mel)).astype(np.float32)),
+            energy_contours=jnp.asarray(np.abs(rng.randn(B, T_mel)).astype(np.float32)),
+            attn_priors=jnp.asarray(prior),
+        )
+    else:
+        dur = np.full((B, T_in), T_mel // T_in, dtype=np.float32)
+        dur[:, -1] += T_mel - dur[0].sum()
+        batch.update(
+            pitch_contours=jnp.asarray(np.abs(rng.randn(B, T_in)).astype(np.float32)),
+            energy_contours=jnp.asarray(np.abs(rng.randn(B, T_in)).astype(np.float32)),
+            durations=jnp.asarray(dur),
+        )
     variables = model.init(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
         batch["input_lings"], batch["input_emotions"], batch["input_speakers"],
         batch["valid_input_lengths"], batch["valid_output_lengths"],
-        batch["mel_targets"], duration_targets=batch["durations"],
+        batch["mel_targets"], duration_targets=batch.get("durations"),
         pitch_targets=batch["pitch_contours"],
-        energy_targets=batch["energy_contours"], deterministic=False,
+        energy_targets=batch["energy_contours"],
+        attn_priors=batch.get("attn_priors"), deterministic=False,
     )
     criterion = criterion_builder(full)
     tx, _ = optimizer_builder(
@@ -286,37 +355,52 @@ def bench_train_step():
     )
     state = TrainState(variables["params"], tx.init(variables["params"]),
                        jnp.asarray(0, dtype=jnp.int32))
-    step = make_sambert_step(model, criterion, tx, False, False)
-    # cost analysis BEFORE any call: the step donates its state argument, so
-    # lowering against the original state only works while it is still live
-    train_flops = _cost_flops(step, state, batch, jax.random.PRNGKey(0),
-                              jnp.asarray(0))
+    step = make_sambert_step(model, criterion, tx, mas, False)
+    import jax as _jax
 
-    state, metrics = step(state, batch, jax.random.PRNGKey(0), jnp.asarray(0))
-    _ = float(metrics["TotalLoss"])
+    compiled, train_flops = _aot(step, state, batch, _jax.random.PRNGKey(0),
+                                 jnp.asarray(0))
+    return dict(fn=compiled, state=state, batch=batch, flops=train_flops,
+                B=B, T_mel=T_mel, mas=mas)
 
+
+def measure_train_step(prep):
+    import jax
+    import jax.numpy as jnp
+
+    step, state, batch = prep["fn"], prep["state"], prep["batch"]
+    B, T_mel, mas = prep["B"], prep["T_mel"], prep["mas"]
     n_iter = 20
-    best_dt = None
-    for _trial in range(2):
-        t0 = time.perf_counter()
-        for i in range(n_iter):
-            state, metrics = step(state, batch, jax.random.PRNGKey(i),
-                                  jnp.asarray(0))
+    with _DEVICE_LOCK:
+        state, metrics = step(state, batch, jax.random.PRNGKey(0),
+                              jnp.asarray(0))
         _ = float(metrics["TotalLoss"])
-        dt = (time.perf_counter() - t0) / n_iter
-        best_dt = dt if best_dt is None else min(best_dt, dt)
+        best_dt = None
+        for _trial in range(2):
+            t0 = time.perf_counter()
+            for i in range(n_iter):
+                state, metrics = step(state, batch, jax.random.PRNGKey(i),
+                                      jnp.asarray(0))
+            _ = float(metrics["TotalLoss"])
+            dt = (time.perf_counter() - t0) / n_iter
+            best_dt = dt if best_dt is None else min(best_dt, dt)
 
     frames_per_s = B * T_mel / best_dt
     return {
-        "metric": "sambert16k_train_step_mel_frames_per_s",
+        "metric": ("sambert16k_mas_train_step_mel_frames_per_s" if mas
+                   else "sambert16k_train_step_mel_frames_per_s"),
         "value": round(frames_per_s, 0),
         "unit": "mel_frames_per_sec_per_chip",
         # reference's 1M-step schedule at this rate, vs its multi-day GPU runs;
         # normalize against one training day (=11.6 steps/s for 1M steps/day)
         "vs_baseline": round((1.0 / best_dt) / 11.574, 3),
         "dtype": "float32",
-        **_mfu_fields(train_flops, best_dt, "float32"),
+        **_mfu_fields(prep["flops"], best_dt, "float32"),
     }
+
+
+def bench_train_step(mas: bool = False):
+    return measure_train_step(prep_train_step(mas))
 
 
 def _preflight_device_probe():
@@ -327,7 +411,7 @@ def _preflight_device_probe():
     non-zero exit is recordable evidence, a hang is not."""
     import threading
 
-    probe_s = float(os.environ.get("KANTTS_BENCH_PROBE_S", "900"))
+    probe_s = float(os.environ.get("KANTTS_BENCH_PROBE_S", "60"))
     done = threading.Event()
 
     def watchdog():
@@ -347,40 +431,140 @@ def _preflight_device_probe():
     print(f"device probe ok: {n} device(s)", file=sys.stderr, flush=True)
 
 
+# Shared snapshot for the hard-deadline watchdog: main() updates it after
+# every completed metric; the watchdog emits it and exits 0 if the run is
+# about to outlive the driver's external timeout (round-3 lesson: an rc=124
+# kill between the last metric and the final print loses the whole line).
+_SNAPSHOT = {"result": None, "extra": {}}
+_EMIT_LOCK = None  # created in main() (threading import is deferred)
+
+
+def _emit_final_once():
+    """Print the one-line JSON contract exactly once (main or watchdog)."""
+    with _EMIT_LOCK:
+        if _SNAPSHOT.get("emitted"):
+            return False
+        _SNAPSHOT["emitted"] = True
+    result = dict(_SNAPSHOT["result"])
+    result["extra"] = dict(_SNAPSHOT["extra"])
+    print(json.dumps(result), flush=True)
+    return True
+
+
+def _start_hard_deadline_watchdog():
+    """Guarantee a clean exit 0 with whatever metrics completed, well before
+    the driver's external timeout. Only fires once the primary metric exists
+    (without it there is nothing honest to report — the probe watchdog
+    already covers total device wedge with exit 3)."""
+    import threading
+
+    hard_s = float(os.environ.get("KANTTS_BENCH_HARD_S", "1380"))
+
+    def watchdog():
+        while True:
+            left = hard_s - (time.perf_counter() - _T0)
+            if left <= 0:
+                break
+            time.sleep(min(left, 5.0))
+        if _SNAPSHOT["result"] is None:
+            print(json.dumps({"error": "hard deadline hit before the primary "
+                                       "metric completed"}),
+                  file=sys.stderr, flush=True)
+            os._exit(3)
+        _SNAPSHOT["extra"]["hard_deadline_hit"] = (
+            f"emitted at {hard_s:.0f}s with completed metrics only")
+        if _emit_final_once():
+            print("hard deadline: emitted snapshot, exit 0",
+                  file=sys.stderr, flush=True)
+        os._exit(0)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+
+
 def main():
+    global _EMIT_LOCK
+    import threading
+
+    _EMIT_LOCK = threading.Lock()
     _enable_compile_cache()
     _preflight_device_probe()
+    _start_hard_deadline_watchdog()
     target = os.environ.get("KANTTS_BENCH_TARGET", "")
     benches = {"hifigan": bench_hifigan, "sambert": bench_sambert,
-               "train": bench_train_step}
+               "train": bench_train_step,
+               "train_mas": lambda: bench_train_step(mas=True)}
     if target:
         print(json.dumps(benches[target]()))
         return
-    # default: all three; primary metric = hifigan, others under "extra".
+    # default: all of them; primary metric = hifigan, others under "extra".
     # stdout carries EXACTLY ONE JSON line (the module contract); progress
-    # snapshots go to stderr so a timeout-killed run still leaves evidence.
-    # Compiles dominate wall-clock (remote compile; the persistent cache
-    # cannot help), hence the generous budget.
-    budget_s = float(os.environ.get("KANTTS_BENCH_BUDGET_S", "1500"))
-    result = bench_hifigan()
-    print(json.dumps(result), file=sys.stderr, flush=True)
-    extra = {}
-    extras = {"hifigan_f32": lambda: bench_hifigan("float32"),
-              "sambert": bench_sambert, "train": bench_train_step}
-    for name, fn in extras.items():
-        if time.perf_counter() - _T0 > budget_s:
-            extra[name + "_skipped"] = "wall-clock budget exhausted"
-            continue
+    # snapshots go to stderr so a killed run still leaves evidence.
+    #
+    # Compiles dominate wall-clock (remote compile service; the persistent
+    # cache does not apply), so every program is AOT-compiled CONCURRENTLY
+    # (the compile service parallelizes across requests) and only the
+    # measurements — seconds each — run serially under the device lock.
+    # The soft budget skips not-yet-compiled extras; the hard watchdog
+    # guarantees the final line + exit 0 inside the driver's timeout.
+    from concurrent.futures import ThreadPoolExecutor
+    from concurrent.futures import TimeoutError as FuturesTimeout
+
+    budget_s = float(os.environ.get("KANTTS_BENCH_BUDGET_S", "1260"))
+    jobs = [
+        ("primary", prep_hifigan, measure_hifigan, None),
+        ("train", prep_train_step, measure_train_step, None),
+        ("train_mas", lambda: prep_train_step(mas=True), measure_train_step,
+         None),
+        ("hifigan_f32", lambda: prep_hifigan("float32"), measure_hifigan,
+         "_f32"),
+        ("sambert", prep_sambert, measure_sambert, None),
+    ]
+    pool = ThreadPoolExecutor(max_workers=len(jobs))
+    futures = {name: pool.submit(prep) for name, prep, _, _ in jobs}
+
+    extra = _SNAPSHOT["extra"]
+
+    def run_one(name, measure, suffix, wait_s):
         try:
-            r = fn()
-            key = r["metric"] + ("_f32" if name == "hifigan_f32" else "")
-            extra[key] = {k: v for k, v in r.items() if k != "metric"}
-            print(json.dumps({**result, "extra": dict(extra)}),
-                  file=sys.stderr, flush=True)
+            prep = futures[name].result(timeout=wait_s)
+        except FuturesTimeout:
+            return False
+        try:
+            r = measure(prep)
         except Exception as e:  # never let a secondary bench kill the line
+            if name == "primary":
+                raise
             extra[name + "_error"] = repr(e)
-    result["extra"] = extra
-    print(json.dumps(result))
+            return True
+        if name == "primary":
+            _SNAPSHOT["result"] = r
+            print(json.dumps(r), file=sys.stderr, flush=True)
+        else:
+            key = r["metric"] + (suffix or "")
+            extra[key] = {k: v for k, v in r.items() if k != "metric"}
+            print(json.dumps({**_SNAPSHOT["result"], "extra": dict(extra)}),
+                  file=sys.stderr, flush=True)
+        return True
+
+    # the primary metric blocks as long as the watchdog allows; then drain
+    # whatever is compiled, re-polling in priority order until the budget —
+    # a fast-compiling extra never waits behind a slow-compiling one
+    run_one("primary", measure_hifigan, None, None)
+    pending = {name: (measure, suffix) for name, _, measure, suffix in jobs
+               if name != "primary"}
+    while pending and time.perf_counter() - _T0 < budget_s:
+        progressed = False
+        for name in list(pending):
+            if futures[name].done():
+                measure, suffix = pending.pop(name)
+                run_one(name, measure, suffix, wait_s=1.0)
+                progressed = True
+        if not progressed:
+            time.sleep(2.0)
+    for name in pending:
+        extra[name + "_skipped"] = "compile did not finish in budget"
+    _emit_final_once()
+    os._exit(0)  # don't wait for abandoned compile threads
 
 
 if __name__ == "__main__":
