@@ -593,6 +593,7 @@ def sambert_infer(
     input_lengths: jnp.ndarray,
     max_output_len: int,
     text_hid_override: Optional[jnp.ndarray] = None,
+    duration_override: Optional[jnp.ndarray] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Full acoustic inference: text -> mel. Jittable end-to-end.
 
@@ -600,6 +601,10 @@ def sambert_infer(
     is returned as LR_length_rounded (reference am_synthesis slices to it,
     bin/infer_sambert.py:136-138). ``text_hid_override`` feeds an externally
     prepared text-hidden sequence (the FP insertion path).
+    ``duration_override`` (B, T_in) frames-per-phone replaces the AR duration
+    decode for duration-controlled synthesis (and for alignment-injection
+    analysis, tools/mas_gap_analysis.py); the duration head still runs and
+    its predictions are still returned.
     """
     cfg = model.config
     r = cfg["outputs_per_step"]
@@ -646,6 +651,10 @@ def sambert_infer(
     log_duration_predictions = jnp.where(input_masks, 0.0, log_dur.T)  # (B, T_in)
     duration_predictions = jnp.exp(log_duration_predictions) - 1.0
     duration_predictions = jnp.where(input_masks, 0.0, duration_predictions)
+    if duration_override is not None:
+        duration_predictions = jnp.where(
+            input_masks, 0.0, duration_override.astype(duration_predictions.dtype)
+        )
 
     # ---- length regulation at static budget
     LR_text, LR_length = length_regulate(text_aug, duration_predictions,

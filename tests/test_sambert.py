@@ -341,6 +341,47 @@ def test_sambert_infer_end_to_end():
     assert 0 <= valid <= 48
 
 
+@pytest.mark.slow
+def test_sambert_infer_duration_override():
+    """duration_override must drive the length regulator exactly: the
+    returned valid length equals the injected duration sum, and the output
+    differs from the AR-predicted-duration decode when durations differ."""
+    model = KanTtsSAMBERT(TINY)
+    rng = np.random.RandomState(1)
+    B, T_in = 1, 8
+    batch = dict(
+        inputs_ling=jnp.asarray(rng.randint(0, 5, (B, T_in, 4)), dtype=jnp.int32),
+        inputs_emotion=jnp.asarray(rng.randint(0, 4, (B, T_in)), dtype=jnp.int32),
+        inputs_speaker=jnp.asarray(rng.randint(0, 2, (B, T_in)), dtype=jnp.int32),
+        input_lengths=jnp.asarray([8]),
+        output_lengths=jnp.asarray([24]),
+        mel_targets=jnp.zeros((B, 24, 10)),
+        duration_targets=jnp.asarray(np.full((B, T_in), 3.0, dtype=np.float32)),
+        pitch_targets=jnp.zeros((B, T_in)),
+        energy_targets=jnp.zeros((B, T_in)),
+    )
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        **batch, deterministic=False,
+    )
+    dur = jnp.asarray(np.array([[2, 4, 3, 5, 2, 6, 1, 1]], dtype=np.float32))
+    res = sambert_infer(
+        model, variables,
+        batch["inputs_ling"], batch["inputs_emotion"], batch["inputs_speaker"],
+        batch["input_lengths"], max_output_len=48, duration_override=dur,
+    )
+    assert int(res["LR_length_rounded"][0]) == min(int(dur.sum()), 48)
+    # the duration head still reports its own predictions
+    assert res["duration_predictions"].shape == (1, 8)
+    res_own = sambert_infer(
+        model, variables,
+        batch["inputs_ling"], batch["inputs_emotion"], batch["inputs_speaker"],
+        batch["input_lengths"], max_output_len=48,
+    )
+    assert not np.allclose(np.asarray(res["postnet_outputs"]),
+                           np.asarray(res_own["postnet_outputs"]))
+
+
 def test_textsy_bert():
     model = KanTtsTextsyBERT(TINY)
     rng = np.random.RandomState(0)

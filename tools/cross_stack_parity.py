@@ -149,7 +149,9 @@ def make_corpus(mas=None, fp=None):
     return batch
 
 
-def train_torch(batch, n_steps, mas=None, fp=None):
+def train_torch(batch, n_steps, mas=None, fp=None, out=None):
+    """``out``: optional dict; receives the trained torch model under
+    "model" (tools/mas_gap_analysis.py does custom post-training decodes)."""
     mas = MAS if mas is None else mas
     fp = FP if fp is None else fp
     cfg = _cfg(mas, fp)
@@ -303,10 +305,15 @@ def train_torch(batch, n_steps, mas=None, fp=None):
         except (ValueError, RuntimeError):
             # degenerate (near-zero) predicted durations -> empty decode
             post_free = None
+    if out is not None:
+        out["model"] = model
+        out["tb"] = tb
     return sd0, traj, post_tf, post_free, mas_durations
 
 
-def train_jax(batch, sd0, n_steps, mas=None, fp=None):
+def train_jax(batch, sd0, n_steps, mas=None, fp=None, out=None):
+    """``out``: optional dict; receives the trained model/state/device batch
+    ("model", "state", "jb") for custom post-training decodes."""
     mas = MAS if mas is None else mas
     fp = FP if fp is None else fp
     cfg = _cfg(mas, fp)
@@ -397,6 +404,11 @@ def train_jax(batch, sd0, n_steps, mas=None, fp=None):
         jb["input_speakers"], jb["valid_input_lengths"])
     post_free = np.asarray(infer["postnet_outputs"])
     free_len = np.asarray(infer["LR_length_rounded"]).astype(int)
+    if out is not None:
+        out["model"] = model
+        out["state"] = state
+        out["jb"] = jb
+        out["free_durations"] = np.asarray(infer["duration_predictions"])
     return traj, post_tf, post_free, free_len, mas_durations
 
 
