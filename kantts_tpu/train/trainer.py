@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import logging
 import os
+import time
 from collections import defaultdict
 from typing import Any, Dict
 
@@ -268,6 +269,14 @@ class Trainer:
                 if is_primary():
                     logging.info("(Steps: %d) %s = %.4f.", self.steps, key,
                                  self.total_train_loss[key])
+            now = time.perf_counter()
+            if getattr(self, "_last_log_time", None) is not None:
+                sps = self.log_interval / (now - self._last_log_time)
+                self.total_train_loss["train/steps_per_sec"] = sps
+                if is_primary():
+                    logging.info("(Steps: %d) steps_per_sec = %.3f.",
+                                 self.steps, sps)
+            self._last_log_time = now
             self.write_to_tensorboard(self.total_train_loss)
             self.total_train_loss = defaultdict(float)
 

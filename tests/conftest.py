@@ -16,10 +16,29 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# XLA:CPU compile time dominates the suite (a 12x-unrolled decode scan costs
+# minutes to compile on CPU while testing nothing the 1x program doesn't);
+# the unroll knobs are TPU dispatch-amortization tuning, numerics-identical.
+os.environ.setdefault("KANTTS_DECODE_UNROLL", "1")
+os.environ.setdefault("KANTTS_DUR_UNROLL", "1")
+
 if "jax" in sys.modules:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+
+# Persistent compile cache: repeat suite runs (the common case while
+# iterating) skip recompiles entirely. Keyed by program, so test edits
+# cannot stale-hit; delete the directory to force cold compiles.
+_CACHE_DIR = os.environ.get(
+    "KANTTS_TEST_COMPILE_CACHE",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_test_cache"))
+if _CACHE_DIR != "0":
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 import gc

@@ -47,10 +47,20 @@ def main():
         print(f"| {r['batch']} | {r['value']} | "
               f"{r.get('achieved_tflops', '-')} | {r.get('mfu', '-')} |")
 
+    suffix = "_int8" if os.environ.get("KANTTS_BENCH_QUANT") == "1" else ""
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        f"bench_scaling_{target}.json")
+                        f"bench_scaling_{target}{suffix}.json")
+    # merge with any prior sweep of the same target (extend the B range
+    # without re-measuring old points)
+    old = []
+    if os.path.exists(path):
+        with open(path) as f:
+            old = [r for r in json.load(f)
+                   if r.get("batch") not in {x["batch"] for x in rows}]
+    rows = sorted(old + rows, key=lambda r: r["batch"])
     with open(path, "w") as f:
         json.dump(rows, f, indent=2)
+        f.write("\n")
     print(f"wrote {path}")
 
 

@@ -148,10 +148,66 @@ def run_load(service, n_requests: int, concurrency: int):
     }
 
 
+def run_stream_load(service, n_requests: int, concurrency: int):
+    """Concurrent /tts/stream-style load: first-byte latency = time to the
+    first PCM chunk, total = last chunk; the acoustic forward still batches
+    with concurrent traffic through the coordinator."""
+    rows = []
+    lock = threading.Lock()
+    work = list(range(n_requests))
+    errors = []
+
+    def worker():
+        while True:
+            with lock:
+                if not work:
+                    return
+                i = work.pop()
+            t0 = time.perf_counter()
+            first = None
+            n_samp = 0
+            try:
+                for chunk in service.stream(TEXTS[i % len(TEXTS)]):
+                    if first is None:
+                        first = time.perf_counter() - t0
+                    n_samp += len(chunk)
+            except BaseException as e:
+                errors.append(repr(e))
+                return
+            total = time.perf_counter() - t0
+            with lock:
+                rows.append((first, total, n_samp / service.sample_rate))
+
+    t_start = time.perf_counter()
+    threads = [threading.Thread(target=worker) for _ in range(concurrency)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t_start
+    if errors:
+        raise RuntimeError(f"{len(errors)} stream requests failed: {errors[:3]}")
+    fb = np.asarray([f for f, _, _ in rows])
+    tt = np.asarray([t for _, t, _ in rows])
+    audio = sum(a for _, _, a in rows)
+    return {
+        "requests": len(rows),
+        "concurrency": concurrency,
+        "wall_s": round(wall, 3),
+        "audio_seconds_per_s": round(audio / wall, 1),
+        "first_byte_p50_ms": round(float(np.percentile(fb, 50)) * 1e3, 1),
+        "first_byte_p95_ms": round(float(np.percentile(fb, 95)) * 1e3, 1),
+        "total_p50_ms": round(float(np.percentile(tt, 50)) * 1e3, 1),
+        "total_p95_ms": round(float(np.percentile(tt, 95)) * 1e3, 1),
+    }
+
+
 def main():
     _enable_compile_cache()
-    n_requests = int(sys.argv[1]) if len(sys.argv) > 1 else 48
-    concurrency = int(sys.argv[2]) if len(sys.argv) > 2 else 12
+    stream_mode = "--stream" in sys.argv
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_requests = int(argv[0]) if len(argv) > 0 else 48
+    concurrency = int(argv[1]) if len(argv) > 1 else 12
     batches = [int(b) for b in os.environ.get(
         "KANTTS_SERVE_BATCHES", "1,8").split(",")]
     wait_ms = float(os.environ.get("KANTTS_SERVE_WAIT_MS", "20"))
@@ -164,13 +220,23 @@ def main():
             # the front-end caches too)
             for t in TEXTS[: max(2, min(len(TEXTS), max_batch))]:
                 service.synthesize(t, timeout=3600)
+            if stream_mode:
+                for _c in service.stream(TEXTS[0]):
+                    pass  # compile the chunked vocoder programs
             base = dict(service.stats)
-            res = run_load(service, n_requests, concurrency)
-            res["batches"] -= base["batches"]
-            res["utterances"] -= base["utterances"]
-            print(json.dumps({"metric": "serve_dynamic_batching",
-                              "max_batch": max_batch,
-                              "max_wait_ms": wait_ms, **res}), flush=True)
+            if stream_mode:
+                res = run_stream_load(service, n_requests, concurrency)
+                res["batches"] = service.stats["batches"] - base["batches"]
+                print(json.dumps({"metric": "serve_streaming",
+                                  "max_batch": max_batch,
+                                  "max_wait_ms": wait_ms, **res}), flush=True)
+            else:
+                res = run_load(service, n_requests, concurrency)
+                res["batches"] -= base["batches"]
+                res["utterances"] -= base["utterances"]
+                print(json.dumps({"metric": "serve_dynamic_batching",
+                                  "max_batch": max_batch,
+                                  "max_wait_ms": wait_ms, **res}), flush=True)
         finally:
             service.close()
 
