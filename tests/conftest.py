@@ -38,7 +38,7 @@ if _CACHE_DIR != "0":
     import jax
 
     jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 
 
 import gc

@@ -187,6 +187,7 @@ def test_mpd_outputs():
     assert len(fmaps[0]) == 6  # 5 conv layers + post
 
 
+@pytest.mark.slow  # 18-37 s of XLA:CPU trace+compile on this 1-core box; equivalent coverage stays in the full tier
 def test_msd_outputs_with_dwt_and_spectral_norm():
     wav = jnp.asarray(np.random.RandomState(0).randn(2, 4000, 1).astype(np.float32))
     msd = MultiScaleDiscriminator(

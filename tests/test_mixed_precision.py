@@ -85,6 +85,7 @@ def test_mixed_precision_sambert_step():
     assert all(leaf.dtype == jnp.float32 for leaf in leaves)
 
 
+@pytest.mark.slow  # 18-37 s of XLA:CPU trace+compile on this 1-core box; equivalent coverage stays in the full tier
 def test_mixed_precision_sambert_close_to_f32():
     """bf16 forward stays close to the f32 forward with the same params."""
     from kantts_tpu.models.sambert.sambert import KanTtsSAMBERT

@@ -249,6 +249,7 @@ def test_sambert_train_forward(train_batch):
     assert len(res["pnca_x_attn_lst"]) == 2
 
 
+@pytest.mark.slow  # 18-37 s of XLA:CPU trace+compile on this 1-core box; equivalent coverage stays in the full tier
 def test_sambert_train_forward_mas(train_batch):
     cfg = dict(TINY, MAS=True)
     model = KanTtsSAMBERT(cfg)

@@ -78,6 +78,7 @@ def _build_service(**kwargs):
     return TTSService(am, am_vars, ling_unit, gen, voc_vars, **defaults)
 
 
+@pytest.mark.slow  # 18-37 s of XLA:CPU trace+compile on this 1-core box; equivalent coverage stays in the full tier
 def test_service_matches_offline_pipeline():
     """One request through the service == the CLI-equivalent manual path
     (AM batch synthesis + bucket-padded vocoder + tail silence)."""
