@@ -60,6 +60,13 @@ def build_service(max_batch: int, max_wait_ms: float):
     lu = KanTtsLinguisticUnit(full)
     cfg = full["Model"]["KanTtsSAMBERT"]["params"]
     cfg.update(lu.get_unit_size())
+    # serving speed is weight-independent EXCEPT through predicted durations
+    # (they set how much mel the vocoder sees); at random init the relu'd
+    # duration head predicts ~zero and every utterance collapses to 3
+    # frames. Bias-init the head so exp(bias)-1 ~ 8 frames/phone — realistic
+    # utterance lengths without needing a trained checkpoint.
+    cfg["dur_pred_bias_init"] = float(os.environ.get("KANTTS_SERVE_DUR_BIAS",
+                                                     "2.2"))
     tiny = os.environ.get("KANTTS_SERVE_TINY") == "1"  # CPU smoke mode
     if tiny:
         sys.path.insert(0, os.path.join(root, "tests"))
