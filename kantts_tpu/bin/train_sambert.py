@@ -52,6 +52,12 @@ def train(model_config, root_dir, stage_dir, resume_path=None,
     train_dataset, valid_dataset = get_am_datasets(
         meta_file, root_dir, config, config.get("allow_cache", False),
         se_enable=se_enable,
+        # static-shape bucket granularity: coarser buckets trade padding
+        # waste for fewer compiled programs (one per distinct rounded
+        # (input, frame) pair) — the lever that matters when XLA compiles
+        # remotely or the corpus has a wide length spread
+        input_bucket=int(config.get("input_bucket", 16)),
+        frame_bucket=int(config.get("frame_bucket", 96)),
     )
     logging.info("train + valid: %d + %d", len(train_dataset), len(valid_dataset))
 

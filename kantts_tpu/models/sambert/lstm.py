@@ -14,6 +14,7 @@ the backward states of valid positions.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -51,7 +52,12 @@ def lstm_scan(
         h = o * jnp.tanh(c)
         return (h, c), h
 
-    (hT, cT), ys = jax.lax.scan(step, (h0, c0), jnp.swapaxes(x_proj, 0, 1))
+    # unroll amortizes per-step loop overhead across the many serial LSTM
+    # scans in a train step (predictors at T_in, postnet at T_mel, and their
+    # backward scans); trace-time tunable like the decode unrolls
+    unroll = int(os.environ.get("KANTTS_LSTM_UNROLL", "1"))
+    (hT, cT), ys = jax.lax.scan(step, (h0, c0), jnp.swapaxes(x_proj, 0, 1),
+                                unroll=max(1, min(unroll, x_proj.shape[1])))
     return jnp.swapaxes(ys, 0, 1), (hT, cT)
 
 

@@ -72,6 +72,11 @@ def stage_config(model, steps, out_path):
         keep_last_checkpoints=3,
         async_checkpoint=True,
         num_workers=2,
+        # coarse buckets: the 1.5-16 s corpus spans many default buckets and
+        # every distinct shape pair costs a full remote XLA compile on this
+        # box (~10 min); 64/480 bounds the program count at <~8
+        input_bucket=64,
+        frame_bucket=480,
     )
     if model == "sambert":
         cfg["linguistic_unit"]["speaker_list"] = "F7,F1,M2,M9"
