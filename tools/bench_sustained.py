@@ -87,7 +87,8 @@ def stage_config(model, steps, out_path):
 
 def parse_sps(log_path):
     """steps_per_sec series from the trainer's stdout.log."""
-    pat = re.compile(r"\(Steps: (\d+)\) steps_per_sec = ([0-9.]+)")
+    # value is sentence-terminated ("... = 0.419."): don't eat the final dot
+    pat = re.compile(r"\(Steps: (\d+)\) steps_per_sec = ([0-9]+(?:\.[0-9]+)?)")
     out = []
     with open(log_path) as f:
         for line in f:
