@@ -103,3 +103,19 @@ def test_phone_identity_is_learnable(corpus):
                       for i in range(len(cents))
                       for j in range(i + 1, len(cents))])
     assert within < across, (within, across)
+
+
+def test_bench_sustained_parse_sps(tmp_path):
+    """The trainer's log sentences end with a period right after the value —
+    the parser must not absorb it into the float (round-4 regression)."""
+    from tools.bench_sustained import parse_sps
+
+    log = tmp_path / "stdout.log"
+    log.write_text(
+        "2026-08-18:14:34:40, INFO [trainer.py:277] "
+        "(Steps: 200) steps_per_sec = 0.419.\n"
+        "noise line\n"
+        "2026-08-18:14:35:41, INFO [trainer.py:277] "
+        "(Steps: 300) steps_per_sec = 4.\n"
+    )
+    assert parse_sps(str(log)) == [(200, 0.419), (300, 4.0)]
