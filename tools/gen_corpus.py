@@ -212,6 +212,18 @@ def main():
     extractor = MelSpectrogramExtractor(SR, n_fft=2048, hop_length=HOP,
                                         win_length=1000, n_mels=80,
                                         fmin=0.0, fmax=8000.0)
+    N_FFT = 2048
+
+    def extract_mel(wav):
+        """Bucket the wav length so the jitted extractor compiles ~15 programs
+        instead of one per utterance (a full XLA compile per distinct shape).
+        Reflect-padding the tail by >= n_fft before the call reproduces the
+        extractor's own center reflect-padding exactly, so the sliced result
+        is bit-identical to the unbucketed call."""
+        n = len(wav)
+        bucket = int(np.ceil((n + N_FFT) / SR) * SR)
+        padded = np.pad(wav, (0, bucket - n), mode="reflect")
+        return extractor(padded)[: n // HOP + 1]
     rng = np.random.RandomState(args.seed)
     lines = []
     all_f0 = []
@@ -224,7 +236,7 @@ def main():
         wav, f0_hz, uv = _synth(rng, toks, durs, tones, spk_base[spk],
                                 spk_scale[spk])
         utt = f"utt{i:04d}"
-        mel = extractor(wav)
+        mel = extract_mel(wav)
         n_frames = min(mel.shape[0], len(f0_hz))
         mel, f0_hz, uv = mel[:n_frames], f0_hz[:n_frames], uv[:n_frames]
         durs = durs.copy()
