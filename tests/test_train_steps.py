@@ -363,3 +363,78 @@ def test_sybert_step():
         state, metrics = step_fn(state, batch, jax.random.PRNGKey(i))
         losses.append(float(metrics["loss"]))
     assert losses[-1] < losses[0]
+
+
+@pytest.mark.slow
+def test_sambert_se_train_step():
+    """SE=true training: the speaker input is a float d-vector sequence
+    (reference kantts_sambert.py:770-778, dataset.py:760-771) rather than an
+    id track — the optimizer step must train through it (VarianceAdaptor and
+    decoder consume the d-vector directly; there is no spk embedding table).
+    Two distinct speakers in the batch exercise multi-speaker conditioning
+    under training."""
+    rng = np.random.RandomState(1)
+    B, T_in, T_mel = 2, 12, 24
+    se = rng.randn(2, TINY["speaker_units"]).astype(np.float32)  # 2 speakers
+    batch = {
+        "input_lings": jnp.asarray(rng.randint(0, 5, (B, T_in, 4)), dtype=jnp.int32),
+        "input_emotions": jnp.asarray(rng.randint(0, 4, (B, T_in)), dtype=jnp.int32),
+        "input_speakers": jnp.asarray(
+            np.stack([np.repeat(se[i][None, :], T_in, axis=0) for i in range(B)])),
+        "valid_input_lengths": jnp.asarray([12, 9]),
+        "valid_output_lengths": jnp.asarray([24, 17]),
+        "mel_targets": jnp.asarray(rng.randn(B, T_mel, 10).astype(np.float32)),
+        "pitch_contours": jnp.asarray(np.abs(rng.randn(B, T_in)).astype(np.float32)),
+        "energy_contours": jnp.asarray(np.abs(rng.randn(B, T_in)).astype(np.float32)),
+    }
+    dur = np.full((B, T_in), 2, dtype=np.float32)
+    dur[1, 9:] = 0
+    dur[1, 8] = 3
+    batch["durations"] = jnp.asarray(dur)
+
+    model = KanTtsSAMBERT(dict(TINY, SE=True))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch["input_lings"], batch["input_emotions"], batch["input_speakers"],
+        batch["valid_input_lengths"], batch["valid_output_lengths"],
+        batch["mel_targets"], duration_targets=batch["durations"],
+        pitch_targets=batch["pitch_contours"],
+        energy_targets=batch["energy_contours"], deterministic=False,
+    )
+    assert "spk_tokenizer" not in variables["params"]
+    criterion = criterion_builder({
+        "Loss": {"MelReconLoss": {"enable": True, "params": {"loss_type": "mae"}},
+                 "ProsodyReconLoss": {"enable": True, "params": {"loss_type": "mae"}}}
+    })
+    tx, _ = optimizer_builder(
+        {"type": "Adam", "params": {"lr": 1e-3, "betas": [0.9, 0.98], "eps": 1e-9}},
+        {"type": "NoamLR", "params": {"warmup_steps": 10}},
+        grad_norm=1.0,
+    )
+    state = TrainState(variables["params"], tx.init(variables["params"]),
+                       jnp.asarray(0, dtype=jnp.int32))
+    step_fn = make_sambert_step(model, criterion, tx, with_mas=False,
+                                fp_enable=False)
+    losses = []
+    for i in range(8):
+        state, metrics = step_fn(state, batch, jax.random.PRNGKey(i), 0)
+        losses.append(float(metrics["TotalLoss"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+
+    # conditioning is live: the two speakers' d-vectors produce different mels
+    res = model.apply(
+        {"params": state.params},
+        batch["input_lings"][:1].repeat(2, 0),
+        batch["input_emotions"][:1].repeat(2, 0),
+        jnp.asarray(np.stack([np.repeat(se[i][None, :], T_in, axis=0)
+                              for i in range(2)])),
+        jnp.asarray([12, 12]), jnp.asarray([24, 24]),
+        batch["mel_targets"][:1].repeat(2, 0),
+        duration_targets=batch["durations"][:1].repeat(2, 0),
+        pitch_targets=batch["pitch_contours"][:1].repeat(2, 0),
+        energy_targets=batch["energy_contours"][:1].repeat(2, 0),
+        deterministic=True,
+    )
+    out = np.asarray(res["postnet_outputs"])
+    assert np.abs(out[0] - out[1]).max() > 1e-4
