@@ -7,6 +7,16 @@ cannot give: step-time stability, host memory growth, compile-cache churn.
 Reference cadence being modeled: 1M steps of sambert (configs/
 sambert_16k_MAS.yaml:85) and 2.5M of hifigan (hifigan_v1_16k.yaml:201).
 
+The run executes as checkpoint-resumed SEGMENTS in fresh subprocesses,
+aligned to the save interval. Reason: this dev box's TPU relay leaks every
+host->device transfer payload as unreclaimable host RSS (platform bug,
+demonstrated by tools/relay_leak_probe.py — ~the batch payload per step,
+which OOM-killed the first single-process attempt at ~130 GB after 4.6k
+steps). A real TPU host (direct PCIe/DMA) runs the whole schedule in one
+process; here the segments keep each process under the RAM ceiling AND
+exercise checkpoint-resume continuity for real. The persistent XLA compile
+cache is shared across segments so only the first pays the compile storm.
+
 Usage:
   python tools/bench_sustained.py --model sambert --steps 10000
   python tools/bench_sustained.py --model hifigan --steps 10000
@@ -17,8 +27,8 @@ import argparse
 import json
 import os
 import re
+import subprocess
 import sys
-import threading
 import time
 
 import numpy as np
@@ -28,46 +38,36 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def _rss_mb():
-    with open("/proc/self/status") as f:
-        for line in f:
-            if line.startswith("VmRSS"):
-                return int(line.split()[1]) / 1024.0
+def _rss_mb(pid="self"):
+    try:
+        with open(f"/proc/{pid}/status") as f:
+            for line in f:
+                if line.startswith("VmRSS"):
+                    return int(line.split()[1]) / 1024.0
+    except FileNotFoundError:
+        pass
     return float("nan")
-
-
-class RssSampler(threading.Thread):
-    def __init__(self, period_s=15.0):
-        super().__init__(daemon=True)
-        self.period_s = period_s
-        self.samples = []
-        self._stop = threading.Event()
-
-    def run(self):
-        while not self._stop.wait(self.period_s):
-            self.samples.append((time.time(), _rss_mb()))
-
-    def stop(self):
-        self._stop.set()
 
 
 def ensure_corpus(corpus_dir, n):
     if os.path.exists(os.path.join(corpus_dir, "raw_metafile.txt")):
         return
-    from tools import gen_corpus  # noqa: F401  (run as a subprocess-free call)
+    env = dict(os.environ, JAX_PLATFORMS="cpu")  # host-side preprocessing
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "gen_corpus.py"),
+         corpus_dir, "--n", str(n)],
+        check=True, env=env,
+    )
 
-    sys.argv = ["gen_corpus", corpus_dir, "--n", str(n)]
-    gen_corpus.main()
 
-
-def stage_config(model, steps, out_path):
+def stage_config(model, total_steps, max_steps, out_path):
     name = ("sambert_16k_MAS.yaml" if model == "sambert"
             else "hifigan_v1_16k.yaml")
     cfg = yaml.safe_load(open(os.path.join(REPO, "kantts_tpu/configs", name)))
     cfg.update(
-        train_max_steps=steps,
-        save_interval_steps=max(steps // 5, 1),
-        eval_interval_steps=max(steps // 4, 1),
+        train_max_steps=max_steps,
+        save_interval_steps=max(total_steps // 5, 1),
+        eval_interval_steps=max(total_steps // 4, 1),
         log_interval_steps=100,
         keep_last_checkpoints=3,
         async_checkpoint=True,
@@ -83,6 +83,47 @@ def stage_config(model, steps, out_path):
     with open(out_path, "w") as f:
         yaml.safe_dump(cfg, f)
     return cfg
+
+
+def latest_checkpoint(stage):
+    ckpt_dir = os.path.join(stage, "ckpt")
+    if not os.path.isdir(ckpt_dir):
+        return None, 0
+    ckpts = []
+    for name in os.listdir(ckpt_dir):
+        m = re.fullmatch(r"checkpoint[_-](\d+)\.ckpt", name)
+        if m:
+            ckpts.append((int(m.group(1)), name))
+    if not ckpts:
+        return None, 0
+    steps, name = max(ckpts)
+    return os.path.join(ckpt_dir, name), steps
+
+
+def run_segment(model, cfg_path, corpus, stage, resume, rss_samples,
+                period_s=15.0):
+    cmd = [sys.executable, "-m", f"kantts_tpu.bin.train_{model}",
+           "--model_config", cfg_path, "--root_dir", corpus,
+           "--stage_dir", stage]
+    if resume:
+        cmd += ["--resume_path", resume]
+    env = dict(
+        os.environ,
+        JAX_COMPILATION_CACHE_DIR=os.path.join(REPO, ".jax_compile_cache"),
+        JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="2",
+    )
+    proc = subprocess.Popen(cmd, env=env, cwd=REPO)
+    peak = 0.0
+    while proc.poll() is None:
+        time.sleep(period_s)
+        r = _rss_mb(proc.pid)
+        if np.isfinite(r):
+            peak = max(peak, r)
+            rss_samples.append((time.time(), r))
+    if proc.returncode != 0:
+        raise SystemExit(
+            f"segment failed rc={proc.returncode} (cmd: {' '.join(cmd)})")
+    return peak
 
 
 def parse_sps(log_path):
@@ -105,50 +146,67 @@ def main():
     ap.add_argument("--corpus", default="/tmp/kantts_corpus_speech")
     ap.add_argument("--n-utts", type=int, default=256)
     ap.add_argument("--stage", default=None)
+    ap.add_argument("--segment-steps", type=int, default=None,
+                    help="steps per process segment (default: the save "
+                    "interval = steps//5; must be a multiple of it so every "
+                    "segment ends on a checkpoint)")
     args = ap.parse_args()
 
     ensure_corpus(args.corpus, args.n_utts)
     stage = args.stage or f"/tmp/kantts_sustained_{args.model}"
     os.makedirs(stage, exist_ok=True)
     cfg_path = os.path.join(stage, "model_config.yaml")
-    stage_config(args.model, args.steps, cfg_path)
 
-    # persistent compile cache softens the bucketed-shape compile storm
-    import jax
+    save_interval = max(args.steps // 5, 1)
+    seg = args.segment_steps or save_interval
+    if seg % save_interval:
+        raise SystemExit(f"--segment-steps {seg} must be a multiple of the "
+                         f"save interval {save_interval}")
 
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(REPO, ".jax_compile_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-
-    sampler = RssSampler()
-    sampler.start()
-    rss0 = _rss_mb()
     t0 = time.time()
-    if args.model == "sambert":
-        from kantts_tpu.bin.train_sambert import train
-    else:
-        from kantts_tpu.bin.train_hifigan import train
-    train(cfg_path, args.corpus, stage, data_parallel=False)
+    rss_samples = []
+    seg_reports = []
+    _, done_steps = latest_checkpoint(stage)
+    while done_steps < args.steps:
+        boundary = min(done_steps + seg, args.steps)
+        stage_config(args.model, args.steps, boundary, cfg_path)
+        resume, at = latest_checkpoint(stage)
+        t_seg = time.time()
+        peak = run_segment(args.model, cfg_path, args.corpus, stage, resume,
+                           rss_samples)
+        ckpt, done_steps = latest_checkpoint(stage)
+        if done_steps < boundary:
+            raise SystemExit(f"segment ended at step {done_steps} < boundary "
+                             f"{boundary}; no checkpoint to continue from")
+        seg_reports.append({
+            "from_step": at, "to_step": done_steps,
+            "wall_s": round(time.time() - t_seg, 1),
+            "rss_peak_mb": round(peak, 1),
+        })
+        print(f"segment {at}->{done_steps}: {seg_reports[-1]['wall_s']}s, "
+              f"peak RSS {peak:.0f} MB", flush=True)
     wall = time.time() - t0
-    sampler.stop()
 
     sps = parse_sps(os.path.join(stage, "stdout.log"))
     vals = [v for _, v in sps]
     head = vals[1:11]    # steps 200-1100 (skip the compile-heavy first window)
     tail = vals[-10:]
-    rss_series = sampler.samples
     report = {
         "model": args.model,
         "steps": args.steps,
         "wall_s": round(wall, 1),
+        "segments": seg_reports,
         "steps_per_sec_series": sps,
         "sps_steps_200_1100": round(float(np.mean(head)), 3) if head else None,
         "sps_last_1000": round(float(np.mean(tail)), 3) if tail else None,
         "sps_min_after_warmup": round(min(vals[1:]), 3) if len(vals) > 1 else None,
         "sps_max": round(max(vals), 3) if vals else None,
-        "rss_start_mb": round(rss0, 1),
-        "rss_end_mb": round(_rss_mb(), 1),
-        "rss_peak_mb": round(max(v for _, v in rss_series), 1) if rss_series else None,
+        "rss_peak_mb": (round(max(v for _, v in rss_samples), 1)
+                        if rss_samples else None),
+        "rss_note": ("host RSS grows ~linearly with steps on this box: the "
+                     "TPU relay leaks each transferred batch payload "
+                     "(platform bug; see tools/relay_leak_probe.py). "
+                     "Segments bound it; a real TPU host does not leak."),
         "ckpts_kept": sorted(os.listdir(os.path.join(stage, "ckpt"))),
     }
     out = os.path.join(REPO, "tools", f"sustained_{args.model}.json")
