@@ -519,8 +519,20 @@ def main():
          "_f32"),
         ("sambert", prep_sambert, measure_sambert, None),
     ]
+    # KANTTS_BENCH_FAULT=name[,name...]: make those jobs' prep raise — drives
+    # the failed-secondary-compile path without needing a real compile failure
+    faults = set(filter(None, os.environ.get("KANTTS_BENCH_FAULT",
+                                             "").split(",")))
+
+    def _submit(name, prep):
+        if name in faults:
+            def prep():
+                raise RuntimeError(f"injected fault for {name} "
+                                   "(KANTTS_BENCH_FAULT)")
+        return pool.submit(prep)
+
     pool = ThreadPoolExecutor(max_workers=len(jobs))
-    futures = {name: pool.submit(prep) for name, prep, _, _ in jobs}
+    futures = {name: _submit(name, prep) for name, prep, _, _ in jobs}
 
     extra = _SNAPSHOT["extra"]
 
@@ -529,6 +541,11 @@ def main():
             prep = futures[name].result(timeout=wait_s)
         except FuturesTimeout:
             return False
+        except Exception as e:  # a secondary's failed compile must not kill the line
+            if name == "primary":
+                raise
+            extra[name + "_error"] = repr(e)
+            return True
         try:
             r = measure(prep)
         except Exception as e:  # never let a secondary bench kill the line
