@@ -47,7 +47,7 @@ class _VocLoader(DataLoader):
 
 
 def train(model_config, root_dir, stage_dir, resume_path=None,
-          data_parallel=True):
+          data_parallel=True, resume_training_state=False):
     if not os.path.exists(root_dir if isinstance(root_dir, str) else root_dir[0]):
         raise ValueError(f"root_dir {root_dir} not found")
     os.makedirs(stage_dir, exist_ok=True)
@@ -108,8 +108,17 @@ def train(model_config, root_dir, stage_dir, resume_path=None,
     )
 
     if resume_path is not None:
-        trainer.load_checkpoint(resume_path, restore_training_state=False)
-        logging.info("Loaded weights from %s (fine-tune style)", resume_path)
+        # weights-only default mirrors the reference (train_hifigan.py:167,
+        # fine-tune style); --resume_training_state continues the schedule
+        # (step counter, both optimizers, spectral-norm state)
+        trainer.load_checkpoint(
+            resume_path, restore_training_state=resume_training_state)
+        if resume_training_state:
+            logging.info("Resumed from %s at step %d", resume_path,
+                         trainer.steps)
+        else:
+            logging.info("Loaded weights from %s (fine-tune style)",
+                         resume_path)
 
     try:
         trainer.train()
@@ -128,9 +137,13 @@ def main():
     parser.add_argument("--root_dir", type=str, required=True, nargs="+")
     parser.add_argument("--stage_dir", type=str, required=True)
     parser.add_argument("--resume_path", type=str, default=None)
+    parser.add_argument("--resume_training_state", action="store_true",
+                        help="restore step counter + optimizer states from "
+                        "--resume_path (true resume, not fine-tune)")
     args = parser.parse_args()
     root = args.root_dir if len(args.root_dir) > 1 else args.root_dir[0]
-    train(args.model_config, root, args.stage_dir, args.resume_path)
+    train(args.model_config, root, args.stage_dir, args.resume_path,
+          resume_training_state=args.resume_training_state)
 
 
 if __name__ == "__main__":

@@ -235,7 +235,11 @@ class Trainer:
         return batch
 
     def check_stop_training(self):
-        if self.steps >= self.max_steps:
+        # self.steps is the NEXT step to execute (1-based); after training
+        # step k it is k+1, so train_max_steps=N runs exactly N steps and the
+        # save hook fires at step N before the stop (the reference increments
+        # before its interval hooks with the same net effect, trainer.py:195)
+        if self.steps > self.max_steps:
             self.finish_training = True
 
     def next_rng(self):
@@ -463,7 +467,8 @@ class SambertTrainer(Trainer):
         step = loaded["steps"] if restore_training_state else self.state.step
         self.state = TrainState(loaded["model"], opt_state, jnp.asarray(step))
         if restore_training_state:
-            self.steps = int(loaded["steps"])
+            # the checkpoint records COMPLETED steps; resume at the next one
+            self.steps = int(loaded["steps"]) + 1
 
 
 class GanTrainer(Trainer):
@@ -561,14 +566,17 @@ class GanTrainer(Trainer):
         }
         loaded = load_checkpoint_bytes(target, path)
         if restore_training_state:
-            self.steps = int(loaded["steps"])
+            # the checkpoint records COMPLETED steps; resume at the next one
+            # (state.step keeps the completed count — the jitted step
+            # increments it)
+            self.steps = int(loaded["steps"]) + 1
             self.state = GanTrainState(
                 loaded["model"]["generator"],
                 loaded["optimizer"]["generator"],
                 loaded["model"]["discriminator"],
                 loaded["optimizer"]["discriminator"],
                 loaded["spectral"],
-                jnp.asarray(self.steps),
+                jnp.asarray(int(loaded["steps"])),
             )
         else:  # fine-tune style: weights only (reference train_hifigan.py:167)
             self.state = GanTrainState(
@@ -620,7 +628,8 @@ class TextsyBertTrainer(Trainer):
                      else self.state.opt_state)
         self.state = TrainState(loaded["model"], opt_state, self.state.step)
         if restore_training_state:
-            self.steps = int(loaded["steps"])
+            # the checkpoint records COMPLETED steps; resume at the next one
+            self.steps = int(loaded["steps"]) + 1
 
 
 def _unreplicate(tree):

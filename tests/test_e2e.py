@@ -376,20 +376,58 @@ def test_hifigan_resume_weights_only(trained_hifigan, corpus, tmp_path):
     assert glob.glob(str(stage2 / "ckpt" / "*.ckpt"))
 
 
+def test_hifigan_resume_training_state(trained_hifigan, corpus, tmp_path):
+    """True resume (--resume_training_state): the step counter continues
+    from the checkpoint instead of restarting at 1 — the contract the
+    segmented sustained-training harness (tools/bench_sustained.py)
+    depends on."""
+    import re
+
+    from kantts_tpu.bin.train_hifigan import train
+
+    stage, ckpt = trained_hifigan
+    at = int(re.search(r"checkpoint[_-](\d+)\.ckpt$", ckpt).group(1))
+    stage2 = tmp_path / "voc_true_resume"
+    stage2.mkdir()
+    cfg = dict(HIFIGAN_TINY)
+    cfg["train_max_steps"] = at + 2
+    cfg["save_interval_steps"] = 1
+    cfg_path = stage2 / "model.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    train(str(cfg_path), str(corpus), str(stage2), resume_path=ckpt,
+          data_parallel=False, resume_training_state=True)
+    steps = sorted(
+        int(re.search(r"checkpoint[_-](\d+)\.ckpt$", p).group(1))
+        for p in glob.glob(str(stage2 / "ckpt" / "*.ckpt")))
+    assert steps, "no checkpoints written"
+    # continued past the resume point and never restarted from step 1
+    assert steps[-1] == at + 2
+    assert steps[0] > at
+
+
 def test_sambert_resume(trained_sambert, corpus, tmp_path):
-    """Checkpoint round-trip: resume restores steps and params."""
+    """Checkpoint round-trip: resume restores steps and params, continues
+    from the NEXT step (no re-training of the checkpointed one), and ends
+    exactly at the extended train_max_steps with its boundary save."""
+    import re
+
     from kantts_tpu.bin.train_sambert import train
 
     stage, ckpt = trained_sambert
+    at = int(re.search(r"checkpoint[_-](\d+)\.ckpt$", ckpt).group(1))
     stage2 = tmp_path / "resume_stage"
     stage2.mkdir()
     cfg = dict(SAMBERT_TINY)
-    cfg["train_max_steps"] = 5
+    cfg["train_max_steps"] = at + 2
+    cfg["save_interval_steps"] = 1
     cfg_path = stage2 / "model.yaml"
     cfg_path.write_text(yaml.safe_dump(cfg))
     train(str(cfg_path), str(corpus), str(stage2), resume_path=ckpt,
           data_parallel=False)
-    assert glob.glob(str(stage2 / "ckpt" / "*.ckpt"))
+    steps = sorted(
+        int(re.search(r"checkpoint[_-](\d+)\.ckpt$", p).group(1))
+        for p in glob.glob(str(stage2 / "ckpt" / "*.ckpt")))
+    assert steps and steps[0] > at and steps[-1] == at + 2
 
 def test_exported_serving_artifact(trained_sambert, trained_hifigan, tmp_path):
     """jax.export serving artifact: export -> reload -> synthesize, and the

@@ -107,6 +107,11 @@ def run_segment(model, cfg_path, corpus, stage, resume, rss_samples,
            "--stage_dir", stage]
     if resume:
         cmd += ["--resume_path", resume]
+        if model == "hifigan":
+            # the hifigan CLI's bare --resume_path is fine-tune style
+            # (weights only, mirroring the reference); segments need the
+            # step counter + optimizer states back
+            cmd += ["--resume_training_state"]
     env = dict(
         os.environ,
         JAX_COMPILATION_CACHE_DIR=os.path.join(REPO, ".jax_compile_cache"),
