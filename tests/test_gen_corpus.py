@@ -117,5 +117,8 @@ def test_bench_sustained_parse_sps(tmp_path):
         "noise line\n"
         "2026-08-18:14:35:41, INFO [trainer.py:277] "
         "(Steps: 300) steps_per_sec = 4.\n"
+        # a killed segment re-trained step 200: keep the LAST occurrence
+        "2026-08-18:14:44:40, INFO [trainer.py:277] "
+        "(Steps: 200) steps_per_sec = 0.5.\n"
     )
-    assert parse_sps(str(log)) == [(200, 0.419), (300, 4.0)]
+    assert parse_sps(str(log)) == [(200, 0.5), (300, 4.0)]

@@ -132,16 +132,21 @@ def run_segment(model, cfg_path, corpus, stage, resume, rss_samples,
 
 
 def parse_sps(log_path):
-    """steps_per_sec series from the trainer's stdout.log."""
+    """steps_per_sec series from the trainer's stdout.log.
+
+    The log APPENDS across processes, so a step range re-trained after a
+    killed/abandoned segment appears more than once; keep the LAST
+    occurrence per step (the surviving trajectory) and return in step
+    order."""
     # value is sentence-terminated ("... = 0.419."): don't eat the final dot
     pat = re.compile(r"\(Steps: (\d+)\) steps_per_sec = ([0-9]+(?:\.[0-9]+)?)")
-    out = []
+    by_step = {}
     with open(log_path) as f:
         for line in f:
             m = pat.search(line)
             if m:
-                out.append((int(m.group(1)), float(m.group(2))))
-    return out
+                by_step[int(m.group(1))] = float(m.group(2))
+    return sorted(by_step.items())
 
 
 def main():
