@@ -403,6 +403,78 @@ def bench_train_step(mas: bool = False):
     return measure_train_step(prep_train_step(mas))
 
 
+def prep_gan_train_step():
+    """HiFi-GAN v1 full adversarial training step — generator + MSD(+DWT) +
+    MPD forward/backward and BOTH Adam updates in one jitted program — at
+    the production batch geometry (16 x 9600-sample crops, hop 200);
+    reference anchor: 2.5M steps of kantts/bin/train_hifigan.py
+    (hifigan_v1_16k.yaml:201)."""
+    import jax
+    import jax.numpy as jnp
+    import yaml
+
+    from kantts_tpu.losses import criterion_builder
+    from kantts_tpu.models.builder import model_builder
+    from kantts_tpu.train.steps import make_gan_step
+
+    full = yaml.safe_load(
+        open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "kantts_tpu/configs/hifigan_v1_16k.yaml"))
+    )
+    built = model_builder(full)
+    criterion = criterion_builder(full)
+    step = make_gan_step(
+        built["generator"], built["discriminators"], criterion,
+        built["gen_tx"], built["disc_txs"], pqmf=built["pqmf"],
+        train_generator=True, include_adversarial=True,
+    )
+    B = int(os.environ.get("KANTTS_BENCH_GAN_B", full["batch_size"]))
+    T = int(os.environ.get("KANTTS_BENCH_GAN_T", full["batch_max_steps"]))
+    hop = 200  # 16 kHz corpus hop (audio_config.yaml merged at train time)
+    rng = np.random.RandomState(0)
+    wav = jnp.asarray(rng.randn(B, T, 1).astype(np.float32) * 0.1)
+    mel = jnp.asarray(rng.randn(B, T // hop, 80).astype(np.float32))
+    state = built["state"]
+    compiled, flops = _aot(step, state, wav, mel, jax.random.PRNGKey(0))
+    return dict(fn=compiled, state=state, wav=wav, mel=mel, flops=flops,
+                B=B, T=T)
+
+
+def measure_gan_train_step(prep):
+    import jax
+
+    step, state = prep["fn"], prep["state"]
+    wav, mel, B, T = prep["wav"], prep["mel"], prep["B"], prep["T"]
+    n_iter = int(os.environ.get("KANTTS_BENCH_ITERS", "20"))
+    with _DEVICE_LOCK:
+        state, metrics = step(state, wav, mel, jax.random.PRNGKey(0))
+        _ = float(metrics["generator_loss"])
+        best_dt = None
+        for _trial in range(2):
+            t0 = time.perf_counter()
+            for i in range(n_iter):
+                state, metrics = step(state, wav, mel, jax.random.PRNGKey(i))
+            _ = float(metrics["generator_loss"])
+            dt = (time.perf_counter() - t0) / n_iter
+            best_dt = dt if best_dt is None else min(best_dt, dt)
+
+    audio_s_per_s = B * T / 16000.0 / best_dt
+    return {
+        "metric": "hifigan16k_gan_train_step_audio_s_per_s",
+        "value": round(audio_s_per_s, 2),
+        "unit": "trained_audio_seconds_per_sec_per_chip",
+        # reference's 2.5M-step schedule at this rate vs one training day
+        # (=28.9 steps/s for 2.5M steps/day)
+        "vs_baseline": round((1.0 / best_dt) / 28.935, 3),
+        "dtype": "float32",
+        **_mfu_fields(prep["flops"], best_dt, "float32"),
+    }
+
+
+def bench_gan_train_step():
+    return measure_gan_train_step(prep_gan_train_step())
+
+
 def _preflight_device_probe():
     """Fail fast (and honestly) if the device never answers. This box's TPU
     is reached through a relay that can wedge in a way that blocks backend
@@ -492,7 +564,8 @@ def main():
     target = os.environ.get("KANTTS_BENCH_TARGET", "")
     benches = {"hifigan": bench_hifigan, "sambert": bench_sambert,
                "train": bench_train_step,
-               "train_mas": lambda: bench_train_step(mas=True)}
+               "train_mas": lambda: bench_train_step(mas=True),
+               "gan_train": bench_gan_train_step}
     if target:
         print(json.dumps(benches[target]()))
         return
@@ -515,6 +588,7 @@ def main():
         ("train", prep_train_step, measure_train_step, None),
         ("train_mas", lambda: prep_train_step(mas=True), measure_train_step,
          None),
+        ("gan_train", prep_gan_train_step, measure_gan_train_step, None),
         ("hifigan_f32", lambda: prep_hifigan("float32"), measure_hifigan,
          "_f32"),
         ("sambert", prep_sambert, measure_sambert, None),
