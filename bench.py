@@ -29,6 +29,23 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 _T0 = time.perf_counter()
 
 
+def _honor_jax_platforms_env():
+    """This box's sitecustomize pre-imports jax and pins the axon (TPU
+    relay) backend in jax.config, which silently overrides a caller's
+    JAX_PLATFORMS=cpu — the bench contract tests run in subprocesses on
+    the CPU backend and would otherwise land on the TPU. Re-assert the
+    env var's platform choice at the config level before any device use."""
+    want = os.environ.get("JAX_PLATFORMS")
+    if not want:
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", want)
+    except Exception:
+        pass
+
+
 def _enable_compile_cache():
     """Persistent XLA compilation cache: repeat bench runs skip the ~minutes
     of compile time that otherwise dominate wall-clock."""
@@ -70,15 +87,66 @@ def _cost_flops(jitted_fn, *args):
         return None
 
 
-def _aot(jitted_fn, *args):
+def _exec_cache_dir():
+    d = os.path.join(
+        os.environ.get(
+            "KANTTS_BENCH_CACHE",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_compile_cache"),
+        ),
+        "exec",
+    )
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _aot(jitted_fn, *args, tag=None):
     """AOT-compile a jitted function for the given args; returns
     (compiled_executable, flops_or_None). Compilation happens on the remote
-    compile service, so many _aot calls can proceed CONCURRENTLY from
-    threads — the serial-compile pile-up was what pushed round-3's bench
-    past the driver timeout. The executable is also the cost-analysis
-    source, so programs are no longer compiled twice (once for FLOPs, once
-    for the measurement)."""
-    compiled = jitted_fn.lower(*args).compile()
+    compile service; the persistent XLA *source* cache does not apply there,
+    so with ``tag`` set the COMPILED EXECUTABLE itself is persisted
+    (jax.experimental.serialize_executable) keyed on a hash of the lowered
+    StableHLO + jax/jaxlib versions + device kind — a repeat bench run (and
+    the driver's run after a warming run this session) skips remote
+    compilation entirely. Round-4 lesson: losing the primary metric to
+    compile weather loses the whole round's perf evidence."""
+    import hashlib
+    import pickle
+
+    import jax
+
+    lowered = jitted_fn.lower(*args)
+    path = None
+    if tag is not None and jax.devices()[0].platform == "cpu":
+        # XLA:CPU AOT deserialization trips machine-feature checks even on
+        # the same host (observed SIGILL-risk load failures); the exec cache
+        # exists for the TPU remote-compile service, where local compiles
+        # are the expensive thing. CPU compiles locally and fast — skip.
+        tag = None
+    if tag is not None:
+        try:
+            dev = jax.devices()[0]
+            key_src = "\x00".join([
+                lowered.as_text(), jax.__version__,
+                getattr(jax, "jaxlib", jax).__version__, dev.device_kind,
+                dev.platform, str(jax.process_count()),
+            ])
+            key = hashlib.sha256(key_src.encode()).hexdigest()[:24]
+            path = os.path.join(_exec_cache_dir(), f"{tag}-{key}.pkl")
+            if os.path.exists(path):
+                from jax.experimental import serialize_executable as se
+
+                with open(path, "rb") as f:
+                    payload, in_tree, out_tree, flops = pickle.load(f)
+                compiled = se.deserialize_and_load(payload, in_tree, out_tree)
+                print(f"exec cache HIT: {tag}", file=sys.stderr, flush=True)
+                return compiled, flops
+        except Exception as e:
+            print(f"exec cache read failed ({tag}): {e!r}",
+                  file=sys.stderr, flush=True)
+            path = None if path is None else path
+
+    compiled = lowered.compile()
     try:
         ca = compiled.cost_analysis()
         if isinstance(ca, (list, tuple)):
@@ -86,6 +154,18 @@ def _aot(jitted_fn, *args):
         flops = float(ca["flops"])
     except Exception:
         flops = None
+    if path is not None:
+        try:
+            from jax.experimental import serialize_executable as se
+
+            payload, in_tree, out_tree = se.serialize(compiled)
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                pickle.dump((payload, in_tree, out_tree, flops), f)
+            os.replace(tmp, path)
+        except Exception as e:
+            print(f"exec cache write failed ({tag}): {e!r}",
+                  file=sys.stderr, flush=True)
     return compiled, flops
 
 
@@ -107,7 +187,7 @@ def _mfu_fields(flops, seconds_per_call, dtype_name):
             "peak_tflops_used": peak}
 
 
-def prep_hifigan(dtype_name=None):
+def prep_hifigan(dtype_name=None, chunks=None):
     """Build + AOT-compile the vocoder program (thread-safe; no timing)."""
     import jax
     import jax.numpy as jnp
@@ -127,8 +207,9 @@ def prep_hifigan(dtype_name=None):
     # 8 causal-context windows synthesized as one batch — identical waveform,
     # 1.76x faster than the plain program (tools/bench_chunked.py sweep).
     # KANTTS_BENCH_CHUNKS=0 restores the plain single-program measurement.
-    chunks = int(os.environ.get("KANTTS_BENCH_CHUNKS",
-                                "8" if batch == 1 else "0"))
+    if chunks is None:
+        chunks = int(os.environ.get("KANTTS_BENCH_CHUNKS",
+                                    "8" if batch == 1 else "0"))
     if quant and chunks:
         # chunked windowing is a bit-exactness contract; int8's dynamic
         # per-example scales break it, so the int8 bench measures the
@@ -159,7 +240,9 @@ def prep_hifigan(dtype_name=None):
         )
     )
     carry = jnp.asarray(0.0, dtype=jnp.float32)
-    compiled, flops = _aot(fwd, params, mel, carry)
+    tag = (f"hifigan-{dtype_name}{'-int8' if quant else ''}"
+           f"-b{batch}-f{frames}-c{chunks}")
+    compiled, flops = _aot(fwd, params, mel, carry, tag=tag)
     return dict(fn=compiled, params=params, mel=mel, carry=carry,
                 flops=flops, dtype_name=dtype_name, quant=quant,
                 chunks=chunks, batch=batch, frames=frames, hop=hop,
@@ -245,7 +328,8 @@ def prep_sambert():
                                                       MAXLEN))
     args = (variables, batch["ling"], batch["emo"], batch["spk"],
             batch["lengths"])
-    compiled, flops = _aot(fn, *args)
+    compiled, flops = _aot(fn, *args,
+                           tag=f"sambert-{B}x{T_in}x{MAXLEN}")
     dtype_name = ("bfloat16" if os.environ.get("KANTTS_SAMBERT_DTYPE")
                   == "bfloat16" else "float32")
     return dict(fn=compiled, args=args, flops=flops, B=B, T_in=T_in,
@@ -359,7 +443,8 @@ def prep_train_step(mas: bool = False):
     import jax as _jax
 
     compiled, train_flops = _aot(step, state, batch, _jax.random.PRNGKey(0),
-                                 jnp.asarray(0))
+                                 jnp.asarray(0),
+                                 tag="train-mas" if mas else "train")
     return dict(fn=compiled, state=state, batch=batch, flops=train_flops,
                 B=B, T_mel=T_mel, mas=mas)
 
@@ -435,7 +520,8 @@ def prep_gan_train_step():
     wav = jnp.asarray(rng.randn(B, T, 1).astype(np.float32) * 0.1)
     mel = jnp.asarray(rng.randn(B, T // hop, 80).astype(np.float32))
     state = built["state"]
-    compiled, flops = _aot(step, state, wav, mel, jax.random.PRNGKey(0))
+    compiled, flops = _aot(step, state, wav, mel, jax.random.PRNGKey(0),
+                           tag=f"gantrain-{B}x{T}")
     return dict(fn=compiled, state=state, wav=wav, mel=mel, flops=flops,
                 B=B, T=T)
 
@@ -539,10 +625,14 @@ def _start_hard_deadline_watchdog():
                 break
             time.sleep(min(left, 5.0))
         if _SNAPSHOT["result"] is None:
-            print(json.dumps({"error": "hard deadline hit before the primary "
-                                       "metric completed"}),
-                  file=sys.stderr, flush=True)
-            os._exit(3)
+            # Last resort (round-4 lesson: NEVER emit nothing): promote a
+            # completed secondary metric to the line rather than exit empty.
+            promoted = _promote_extra_to_primary()
+            if not promoted:
+                print(json.dumps({"error": "hard deadline hit before any "
+                                           "metric completed"}),
+                      file=sys.stderr, flush=True)
+                os._exit(3)
         _SNAPSHOT["extra"]["hard_deadline_hit"] = (
             f"emitted at {hard_s:.0f}s with completed metrics only")
         if _emit_final_once():
@@ -553,11 +643,28 @@ def _start_hard_deadline_watchdog():
     threading.Thread(target=watchdog, daemon=True).start()
 
 
+def _promote_extra_to_primary():
+    """If the primary vocoder metric never materialized but some secondary
+    did, report that secondary as the line's metric (flagged degraded) —
+    partial evidence beats none."""
+    extra = _SNAPSHOT["extra"]
+    for key, val in list(extra.items()):
+        if isinstance(val, dict) and "value" in val and "unit" in val:
+            result = {"metric": key, **val,
+                      "degraded": "primary metric unavailable; promoted "
+                                  "completed secondary"}
+            extra.pop(key)
+            _SNAPSHOT["result"] = result
+            return True
+    return False
+
+
 def main():
     global _EMIT_LOCK
     import threading
 
     _EMIT_LOCK = threading.Lock()
+    _honor_jax_platforms_env()
     _enable_compile_cache()
     _preflight_device_probe()
     _start_hard_deadline_watchdog()
@@ -573,18 +680,106 @@ def main():
     # stdout carries EXACTLY ONE JSON line (the module contract); progress
     # snapshots go to stderr so a killed run still leaves evidence.
     #
-    # Compiles dominate wall-clock (remote compile service; the persistent
-    # cache does not apply), so every program is AOT-compiled CONCURRENTLY
-    # (the compile service parallelizes across requests) and only the
-    # measurements — seconds each — run serially under the device lock.
-    # The soft budget skips not-yet-compiled extras; the hard watchdog
-    # guarantees the final line + exit 0 inside the driver's timeout.
+    # Round-4 regression and its fix: launching all six AOT compiles
+    # concurrently starved the PRIMARY's compile past the watchdog and the
+    # round recorded zero perf evidence. The primary now gets the compile
+    # service to itself first (with a degraded-mode plain-program fallback
+    # racing it if it is slow, and the exec cache skipping remote compiles
+    # entirely on repeat runs); secondaries are only submitted once the
+    # primary measurement is snapshotted. The hard watchdog guarantees the
+    # final line + exit 0 inside the driver's timeout, promoting a completed
+    # secondary if the primary somehow never lands.
     from concurrent.futures import ThreadPoolExecutor
     from concurrent.futures import TimeoutError as FuturesTimeout
 
     budget_s = float(os.environ.get("KANTTS_BENCH_BUDGET_S", "1260"))
+    # KANTTS_BENCH_FAULT=name[,name...]: make those jobs' prep raise — drives
+    # the failed-secondary-compile path without needing a real compile failure
+    faults = set(filter(None, os.environ.get("KANTTS_BENCH_FAULT",
+                                             "").split(",")))
+
+    def _maybe_fault(name, prep):
+        if name in faults:
+            def prep():
+                raise RuntimeError(f"injected fault for {name} "
+                                   "(KANTTS_BENCH_FAULT)")
+        return prep
+
+    extra = _SNAPSHOT["extra"]
+
+    # ---- Phase 1: the primary, alone -------------------------------------
+    # The chunked-8 program (the headline) compiles with the service to
+    # itself. If it is slow past a soft budget, the plain single-window
+    # program races it as a degraded-mode fallback; the first measurement
+    # to land is snapshotted so the watchdog always has a line. A chunked
+    # compile still pending when phase 1 ends is carried into phase 2 and
+    # upgrades the snapshot opportunistically when it lands.
+    primary_pool = ThreadPoolExecutor(max_workers=2)
+    fut_chunked = primary_pool.submit(
+        _maybe_fault("primary_chunked", prep_hifigan))
+    soft_s = float(os.environ.get("KANTTS_BENCH_PRIMARY_SOFT_S", "420"))
+    fut_plain = None
+    plain_result = None
+    deadline = _T0 + budget_s
+
+    def _try_measure(fut, label):
+        """Measure a finished prep future; returns result or None."""
+        try:
+            prep = fut.result(timeout=0)
+        except Exception as e:
+            extra[label + "_error"] = repr(e)
+            return None
+        try:
+            return measure_hifigan(prep)
+        except Exception as e:
+            extra[label + "_error"] = repr(e)
+            return None
+
+    def _upgrade_to_chunked():
+        """If the chunked compile finished, measure it and (re)snapshot.
+        Returns True when the chunked future needs no further polling."""
+        nonlocal fut_chunked
+        if fut_chunked is None:
+            return True
+        if not fut_chunked.done():
+            return False
+        r = _try_measure(fut_chunked, "primary_chunked")
+        fut_chunked = None
+        if r is not None:
+            if plain_result is not None:
+                extra["hifigan_plain_fallback"] = {
+                    k: v for k, v in plain_result.items() if k != "metric"}
+            _SNAPSHOT["result"] = r
+            print(json.dumps(r), file=sys.stderr, flush=True)
+        return True
+
+    while _SNAPSHOT["result"] is None and time.perf_counter() < deadline:
+        if _upgrade_to_chunked() and _SNAPSHOT["result"] is not None:
+            break
+        if fut_plain is not None and fut_plain.done() and plain_result is None:
+            plain_result = _try_measure(fut_plain, "primary_plain")
+            if plain_result is not None:
+                # snapshot immediately so the watchdog always has a line;
+                # a later chunked finish upgrades it (phase 2 keeps polling)
+                _SNAPSHOT["result"] = dict(plain_result,
+                                           degraded_mode="plain program "
+                                           "(chunked compile slow/failed)")
+                print(json.dumps(_SNAPSHOT["result"]), file=sys.stderr,
+                      flush=True)
+                break
+            if fut_chunked is None:
+                break  # both programs failed — fall through to secondaries
+        if (fut_plain is None
+                and (time.perf_counter() - _T0 > soft_s
+                     or fut_chunked is None)):
+            print(f"primary chunked compile slow (> {soft_s:.0f}s) or "
+                  "failed: racing plain program", file=sys.stderr, flush=True)
+            fut_plain = primary_pool.submit(
+                _maybe_fault("primary_plain", lambda: prep_hifigan(chunks=0)))
+        time.sleep(1.0)
+
+    # ---- Phase 2: secondaries, concurrently ------------------------------
     jobs = [
-        ("primary", prep_hifigan, measure_hifigan, None),
         ("train", prep_train_step, measure_train_step, None),
         ("train_mas", lambda: prep_train_step(mas=True), measure_train_step,
          None),
@@ -593,67 +788,49 @@ def main():
          "_f32"),
         ("sambert", prep_sambert, measure_sambert, None),
     ]
-    # KANTTS_BENCH_FAULT=name[,name...]: make those jobs' prep raise — drives
-    # the failed-secondary-compile path without needing a real compile failure
-    faults = set(filter(None, os.environ.get("KANTTS_BENCH_FAULT",
-                                             "").split(",")))
-
-    def _submit(name, prep):
-        if name in faults:
-            def prep():
-                raise RuntimeError(f"injected fault for {name} "
-                                   "(KANTTS_BENCH_FAULT)")
-        return pool.submit(prep)
-
     pool = ThreadPoolExecutor(max_workers=len(jobs))
-    futures = {name: _submit(name, prep) for name, prep, _, _ in jobs}
+    futures = {name: pool.submit(_maybe_fault(name, prep))
+               for name, prep, _, _ in jobs}
 
-    extra = _SNAPSHOT["extra"]
-
-    def run_one(name, measure, suffix, wait_s):
+    def run_one(name, measure, suffix):
         try:
-            prep = futures[name].result(timeout=wait_s)
+            prep = futures[name].result(timeout=1.0)
         except FuturesTimeout:
             return False
         except Exception as e:  # a secondary's failed compile must not kill the line
-            if name == "primary":
-                raise
             extra[name + "_error"] = repr(e)
             return True
         try:
             r = measure(prep)
         except Exception as e:  # never let a secondary bench kill the line
-            if name == "primary":
-                raise
             extra[name + "_error"] = repr(e)
             return True
-        if name == "primary":
-            _SNAPSHOT["result"] = r
-            print(json.dumps(r), file=sys.stderr, flush=True)
-        else:
-            key = r["metric"] + (suffix or "")
-            extra[key] = {k: v for k, v in r.items() if k != "metric"}
-            print(json.dumps({**_SNAPSHOT["result"], "extra": dict(extra)}),
-                  file=sys.stderr, flush=True)
+        key = r["metric"] + (suffix or "")
+        extra[key] = {k: v for k, v in r.items() if k != "metric"}
+        snap = dict(_SNAPSHOT["result"] or {"metric": None})
+        print(json.dumps({**snap, "extra": dict(extra)}),
+              file=sys.stderr, flush=True)
         return True
 
-    # the primary metric blocks as long as the watchdog allows; then drain
-    # whatever is compiled, re-polling in priority order until the budget —
-    # a fast-compiling extra never waits behind a slow-compiling one
-    run_one("primary", measure_hifigan, None, None)
-    pending = {name: (measure, suffix) for name, _, measure, suffix in jobs
-               if name != "primary"}
-    while pending and time.perf_counter() - _T0 < budget_s:
-        progressed = False
+    pending = {name: (measure, suffix) for name, _, measure, suffix in jobs}
+    while ((pending or fut_chunked is not None)
+           and time.perf_counter() - _T0 < budget_s):
+        had_chunked = fut_chunked is not None
+        _upgrade_to_chunked()
+        progressed = had_chunked and fut_chunked is None
         for name in list(pending):
             if futures[name].done():
                 measure, suffix = pending.pop(name)
-                run_one(name, measure, suffix, wait_s=1.0)
+                run_one(name, measure, suffix)
                 progressed = True
         if not progressed:
             time.sleep(2.0)
     for name in pending:
         extra[name + "_skipped"] = "compile did not finish in budget"
+    if _SNAPSHOT["result"] is None and not _promote_extra_to_primary():
+        print(json.dumps({"error": "no metric completed inside the budget"}),
+              file=sys.stderr, flush=True)
+        os._exit(3)
     _emit_final_once()
     os._exit(0)  # don't wait for abandoned compile threads
 
