@@ -167,10 +167,21 @@ class Trainer:
         # background thread (interval saves only; crash-time saves stay
         # synchronous so the process cannot exit before the write lands)
         self._ckpt_writer = None
+        # KANTTS_TRAIN_PROFILE=1: per-phase wall-time attribution of the
+        # train loop (loader wait / host->device prepare / step dispatch /
+        # eval / save / log-sync), reported at every log interval. Host-side
+        # timers only — dispatch is async, so device-bound time surfaces in
+        # the step-dispatch phase (backpressure) and the log-sync phase (the
+        # single float() barrier); loader-bound time surfaces as loader wait.
+        self._profile = os.environ.get("KANTTS_TRAIN_PROFILE") == "1"
+        self._phase = defaultdict(float)
 
     # ------------------------------------------------------------------ loop
 
     def train(self):
+        # a resume from a checkpoint already at train_max_steps must exit
+        # without executing (and checkpointing) an extra step
+        self.check_stop_training()
         while not self.finish_training:
             self.train_epoch()
             self.epoch += 1
@@ -198,7 +209,11 @@ class Trainer:
 
     def train_epoch(self):
         for batch in self._lookahead(self.train_loader):
+            t0 = time.perf_counter() if self._profile else 0.0
             self.train_step(batch)
+            if self._profile:
+                t1 = time.perf_counter()
+                self._phase["step_dispatch"] += t1 - t0
             # interval hooks run on ALL processes: eval_step executes the
             # SPMD jitted step on globally-sharded arrays, which every
             # process must participate in. Only file/TensorBoard writes are
@@ -206,7 +221,12 @@ class Trainer:
             # rank-0 gating of outputs rather than of the computation.
             self.check_eval_interval()
             self.check_save_interval()
+            if self._profile:
+                t2 = time.perf_counter()
+                self._phase["eval_save"] += t2 - t1
             self.check_log_interval()
+            if self._profile:
+                self._phase["log_sync"] += time.perf_counter() - t2
             self.steps += 1
             self.check_stop_training()
             if self.finish_training:
@@ -220,16 +240,32 @@ class Trainer:
         transfer (async in JAX) before step k runs, so the ICI/PCIe copy
         overlaps compute. prepare_batch is subclass-defined sharding."""
         it = iter(loader)
-        try:
-            nxt = self.prepare_batch(next(it))
-        except StopIteration:
+        profile = self._profile
+
+        def fetch():
+            t0 = time.perf_counter() if profile else 0.0
+            try:
+                raw = next(it)
+            except StopIteration:
+                return None
+            if profile:
+                t1 = time.perf_counter()
+                self._phase["loader_wait"] += t1 - t0
+            prepared = self.prepare_batch(raw)
+            if profile:
+                self._phase["prepare"] += time.perf_counter() - t1
+            return (prepared,)
+
+        nxt = fetch()
+        if nxt is None:
             return
-        for batch in it:
-            cur, nxt = nxt, self.prepare_batch(batch)
-            yield cur
+        while True:
+            cur, nxt = nxt, fetch()
+            yield cur[0]
             if self.finish_training:
                 return
-        yield nxt
+            if nxt is None:
+                return
 
     def prepare_batch(self, batch):
         return batch
@@ -237,8 +273,11 @@ class Trainer:
     def check_stop_training(self):
         # self.steps is the NEXT step to execute (1-based); after training
         # step k it is k+1, so train_max_steps=N runs exactly N steps and the
-        # save hook fires at step N before the stop (the reference increments
-        # before its interval hooks with the same net effect, trainer.py:195)
+        # save hook fires at step N before the stop. This deliberately
+        # DEVIATES from the reference (trainer.py:204-215 increments after
+        # its hooks and its >= check nets max_steps-1 executed steps with no
+        # save at the final step) — exact-N with a final save is the behavior
+        # resume segmentation needs; do not "fix" this back for parity.
         if self.steps > self.max_steps:
             self.finish_training = True
 
@@ -280,6 +319,20 @@ class Trainer:
                 if is_primary():
                     logging.info("(Steps: %d) steps_per_sec = %.3f.",
                                  self.steps, sps)
+                if self._profile:
+                    window = now - self._last_log_time
+                    tracked = sum(self._phase.values())
+                    parts = " ".join(
+                        f"{k}={v:.2f}" for k, v in sorted(self._phase.items()))
+                    if is_primary():
+                        logging.info(
+                            "(Steps: %d) phase_seconds %s other=%.2f "
+                            "window=%.2f", self.steps, parts,
+                            max(window - tracked, 0.0), window)
+            if self._profile:
+                # reset on EVERY log tick (incl. the first, which has no
+                # window) so each report covers exactly one log interval
+                self._phase = defaultdict(float)
             self._last_log_time = now
             self.write_to_tensorboard(self.total_train_loss)
             self.total_train_loss = defaultdict(float)

@@ -172,6 +172,11 @@ def main():
     if seg % save_interval:
         raise SystemExit(f"--segment-steps {seg} must be a multiple of the "
                          f"save interval {save_interval}")
+    if args.steps % save_interval:
+        # fail NOW, not after hours of training: a final segment boundary off
+        # the save grid would end without a checkpoint to continue from
+        raise SystemExit(f"--steps {args.steps} must be a multiple of the "
+                         f"save interval {save_interval}")
 
     t0 = time.time()
     rss_samples = []
