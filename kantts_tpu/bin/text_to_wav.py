@@ -83,15 +83,14 @@ def text_to_wav(output_dir, am_ckpt, voc_ckpt, text_file=None,
         symbols_path = symbols_file
     else:
         if frontend is None:
-            # in-tree raw-text path: tone-numbered pinyin with default
-            # prosody (see text/pinyin_frontend.py). For hanzi input pass
-            # ``--frontend lexicon:readings.tsv`` (user-supplied hanzi->pinyin
-            # lexicon, text/lexicon_frontend.py) or a custom g2p module (the
-            # reference's ttsfrd engine is closed-source and not portable),
-            # or precomputed --symbols_file sequences.
-            frontend = "kantts_tpu.text.pinyin_frontend"
-            logging.info("Using the in-tree pinyin front-end (tone-numbered "
-                         "pinyin input); pass --frontend for hanzi/custom g2p.")
+            # in-tree raw-text path: hanzi AND tone-numbered pinyin, via the
+            # built-in core lexicon (text/lexicon_frontend.py; the
+            # reference's ttsfrd engine is closed-source and not portable).
+            # ``--frontend lexicon:readings.tsv`` overlays a user lexicon;
+            # ``--frontend pinyin`` is the bare pinyin-only g2p; any other
+            # value is a custom g2p module path.
+            logging.info("Using the in-tree hanzi+pinyin front-end (built-in "
+                         "core lexicon); pass --frontend to customize.")
         from kantts_tpu.serve.service import resolve_frontend
         fe = resolve_frontend(frontend)
         with open(text_file, encoding="utf-8") as f:
@@ -124,9 +123,10 @@ def main():
     parser.add_argument("--symbols_file", type=str, default=None,
                         help="precomputed symbol sequences (utt\\tsymbols)")
     parser.add_argument("--frontend", type=str, default=None,
-                        help="python module exposing text_to_symbols(), or "
-                             "'lexicon:readings.tsv' for hanzi input via a "
-                             "user-supplied hanzi->pinyin lexicon")
+                        help="default: built-in hanzi+pinyin front-end; "
+                             "'lexicon:readings.tsv' overlays a user "
+                             "hanzi->pinyin lexicon; 'pinyin' = bare pinyin "
+                             "g2p; else a module exposing text_to_symbols()")
     parser.add_argument("--output_dir", type=str, required=True)
     parser.add_argument("--am_ckpt", type=str, required=True)
     parser.add_argument("--voc_ckpt", type=str, required=True)

@@ -45,10 +45,17 @@ import numpy as np
 
 
 def resolve_frontend(frontend: Optional[str]):
-    """The CLI's front-end resolution (bin/text_to_wav.py): None -> in-tree
-    pinyin g2p, ``lexicon:path`` -> user-lexicon hanzi front-end, otherwise
-    a module path exposing ``text_to_symbols(texts, speaker, lang)``."""
-    if frontend is None:
+    """The CLI's front-end resolution (bin/text_to_wav.py): None/"lexicon"
+    -> the in-tree hanzi+pinyin front-end (built-in core lexicon,
+    text/lexicon_frontend.py; pure-pinyin input passes through unchanged),
+    ``lexicon:path`` -> built-in overlaid with a user lexicon TSV,
+    ``pinyin`` -> the bare pinyin-only g2p, otherwise a module path
+    exposing ``text_to_symbols(texts, speaker, lang)``."""
+    if frontend is None or frontend == "lexicon":
+        from kantts_tpu.text.lexicon_frontend import make_frontend
+
+        return make_frontend()
+    if frontend == "pinyin":
         from kantts_tpu.text import pinyin_frontend
 
         return pinyin_frontend

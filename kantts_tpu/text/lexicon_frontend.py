@@ -1,44 +1,58 @@
-"""User-lexicon hanzi front-end: raw Chinese text -> symbol sequences.
+"""Hanzi front-end: raw Chinese text -> symbol sequences, with zero user
+data required.
 
 The reference synthesizes arbitrary hanzi via the closed-source ``ttsfrd``
 engine (/root/reference/kantts/bin/text_to_wav.py:97-107,
 utils/ling_unit/__init__.py:20-40), which has no portable source and no
 offline replacement in this environment (no pypinyin; jieba ships no
-readings). This module makes the residual boundary user-fillable: supply a
-plain hanzi->pinyin TSV lexicon and hanzi input synthesizes end-to-end —
-``text_to_wav --frontend lexicon:my.tsv``.
+readings). This module replaces that boundary with an IN-TREE core lexicon
+(resources/lexicon/zh_core.tsv: the most common characters' default
+readings plus multi-character polyphone disambiguations, authored the same
+way as resources/languages/*.json) -- raw hanzi synthesizes end-to-end with
+no plugin and no user file. A user TSV overlays the built-in (user entries
+win): ``text_to_wav --frontend lexicon:my.tsv``.
 
 Lexicon format (UTF-8, one entry per line)::
 
-    你好\tni3 hao3
-    世界\tshi4jie4      # spaces inside the pinyin are optional
-    好\thao3
+    word<TAB>ni3 hao3
+    word<TAB>shi4jie4      # spaces inside the pinyin are optional
     # comments and blank lines are ignored
 
 Multi-character entries double as segmentation hints: segmentation prefers
 jieba (installed here; every multi-char lexicon word is registered via
 ``jieba.add_word`` so user vocabulary wins), with a deterministic greedy
 longest-match fallback when jieba is unavailable. Each segment must resolve
-through the lexicon — as a whole word or character-by-character; anything
+through the lexicon -- as a whole word or character-by-character; anything
 else raises with the exact missing characters, so coverage gaps surface as
 actionable errors rather than silent drops.
 
+Standard Mandarin tone sandhi is applied within each prosodic word (the
+reference's ttsfrd front-end does the same internally): third-tone runs
+surface as 2(+)3, BU4 is bu2 before tone 4, and YI1 is yi2 before tone 4 /
+yi4 before tones 1-3 when mid-word.
+
 Non-hanzi syntax is shared with the pinyin front-end
-(text/pinyin_frontend.py): ``#1``-``#4`` breaks, phrase punctuation
-(``，,、；;：:`` -> #3), sentence stops (``。.！!？?``), and inline
-tone-numbered pinyin all pass through, so mixed hanzi/pinyin input works.
+(text/pinyin_frontend.py): ``#1``-``#4`` breaks, phrase punctuation -> #3,
+sentence stops, and inline tone-numbered pinyin all pass through, so mixed
+hanzi/pinyin input works.
 """
 
 from __future__ import annotations
 
 import logging
+import os
 import re
-from typing import Dict, List
+from typing import Dict, List, Optional
 
 from kantts_tpu.text import pinyin_frontend
 
-_HANZI = re.compile(r"[㐀-䶿一-鿿豈-﫿]+")
+_HANZI_RANGE = "\u3400-\u4dbf\u4e00-\u9fff\uf900-\ufaff"
+_HANZI = re.compile("[" + _HANZI_RANGE + "]+")
 _COMMENT = re.compile(r"\s+#.*$")
+_SYL_TONE = re.compile(r"([a-zv]+)([0-5])")
+
+BUILTIN_LEXICON = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "resources", "lexicon", "zh_core.tsv")
 
 
 def load_lexicon(path: str) -> Dict[str, str]:
@@ -99,11 +113,42 @@ def _greedy_segments(text: str, lexicon: Dict[str, str]) -> List[str]:
     return out
 
 
-class LexiconFrontend:
-    """Callable front-end bound to one lexicon file."""
+def apply_tone_sandhi(pinyin: str) -> str:
+    """Standard Mandarin sandhi WITHIN one prosodic word's concatenated
+    tone-numbered pinyin: third-tone runs surface as 2..2,3; 不 (bu4) is
+    bu2 before a tone-4 syllable; 一 (yi1) is yi2 before tone 4 and yi4
+    before tones 1-3 when another syllable follows (word-final/ordinal 一
+    keeps yi1). Neutral tones break third-tone runs."""
+    parts = _SYL_TONE.findall(pinyin)
+    if "".join(s + t for s, t in parts) != pinyin:
+        return pinyin  # not fully tone-numbered; leave untouched
+    tones = [t for _, t in parts]
+    out = []
+    for i, (syl, tone) in enumerate(parts):
+        nxt = tones[i + 1] if i + 1 < len(parts) else None
+        if syl == "bu" and tone == "4" and nxt == "4":
+            tone = "2"
+        elif syl == "yi" and tone == "1" and nxt is not None:
+            tone = "2" if nxt == "4" else ("4" if nxt in "123" else tone)
+        elif tone == "3" and nxt == "3":
+            tone = "2"
+        out.append(syl + tone)
+    return "".join(out)
 
-    def __init__(self, lexicon_path: str):
-        self.lexicon = load_lexicon(lexicon_path)
+
+class LexiconFrontend:
+    """Callable front-end: the built-in core lexicon, optionally overlaid
+    with a user lexicon file (user entries win)."""
+
+    def __init__(self, lexicon_path: Optional[str] = None,
+                 use_builtin: bool = True):
+        self.lexicon: Dict[str, str] = {}
+        if use_builtin:
+            self.lexicon.update(load_lexicon(BUILTIN_LEXICON))
+        if lexicon_path:
+            self.lexicon.update(load_lexicon(lexicon_path))
+        if not self.lexicon:
+            raise ValueError("no lexicon: pass a path or use_builtin=True")
         self._jieba = _jieba_tokenizer(self.lexicon)
 
     def _segment(self, hanzi: str) -> List[str]:
@@ -127,7 +172,8 @@ class LexiconFrontend:
         segment), leaving the pinyin front-end's syntax untouched."""
 
         def repl(m: re.Match) -> str:
-            words = [self._segment_to_pinyin(s) for s in self._segment(m.group(0))]
+            words = [apply_tone_sandhi(self._segment_to_pinyin(s))
+                     for s in self._segment(m.group(0))]
             return " " + " ".join(words) + " "
 
         return _HANZI.sub(repl, line).strip()
@@ -139,5 +185,6 @@ class LexiconFrontend:
                                                lang=lang)
 
 
-def make_frontend(lexicon_path: str) -> LexiconFrontend:
-    return LexiconFrontend(lexicon_path)
+def make_frontend(lexicon_path: Optional[str] = None) -> LexiconFrontend:
+    """Built-in core lexicon, overlaid with ``lexicon_path`` if given."""
+    return LexiconFrontend(lexicon_path or None)

@@ -320,6 +320,29 @@ def test_text_to_wav_hanzi_lexicon(trained_sambert, trained_hifigan, tmp_path):
     assert sr == SR and np.isfinite(wav).all() and len(wav) > 0
 
 
+def test_text_to_wav_hanzi(trained_sambert, trained_hifigan, tmp_path):
+    """Raw HANZI with ZERO user data: the built-in core lexicon
+    (resources/lexicon/zh_core.tsv) is the default front-end — the full
+    in-tree replacement for the reference's closed-source ttsfrd hanzi
+    path (reference text_to_wav.py:97-107)."""
+    from kantts_tpu.bin.text_to_wav import text_to_wav
+
+    _, am_ckpt = trained_sambert
+    _, voc_ckpt = trained_hifigan
+
+    txt = tmp_path / "hanzi.txt"
+    txt.write_text("今天天气很好。 我们去公园散步吧\n", encoding="utf-8")
+    out_dir = tmp_path / "tts_hanzi_builtin_out"
+    text_to_wav(str(out_dir), am_ckpt, voc_ckpt, text_file=str(txt))
+
+    res = glob.glob(str(out_dir / "res_wavs" / "*.wav"))
+    assert len(res) == 1
+    from kantts_tpu.utils.audio import read_wav
+
+    sr, wav = read_wav(res[0])
+    assert sr == SR and np.isfinite(wav).all() and len(wav) > 0
+
+
 def test_stream_tts(trained_sambert, trained_hifigan, tmp_path):
     """Streaming pipeline: chunks are sample-exact vs whole-utterance
     synthesis, first-chunk latency is reported."""

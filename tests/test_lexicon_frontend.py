@@ -67,7 +67,8 @@ def test_load_lexicon_errors(tmp_path):
 def test_hanzi_matches_equivalent_pinyin(lexicon_path):
     fe = make_frontend(lexicon_path)
     got = fe.text_to_symbols(["你好，世界。"])
-    want = pinyin_symbols(["ni3hao3，shi4jie4。"])
+    # third-tone sandhi: ni3 hao3 surfaces as ni2 hao3
+    want = pinyin_symbols(["ni2hao3，shi4jie4。"])
     assert got == want
     # sanity: non-trivial output with phrase break + sentence-final break
     text = got[0][0]
@@ -94,9 +95,12 @@ def test_mixed_hanzi_pinyin_and_breaks(lexicon_path):
 
 
 def test_missing_reading_is_actionable(lexicon_path):
-    fe = make_frontend(lexicon_path)
+    # use_builtin=False: the pure user-lexicon path must surface gaps
+    fe = LexiconFrontend(lexicon_path, use_builtin=False)
     with pytest.raises(ValueError, match="no reading for '猫'"):
         fe.text_to_symbols(["猫很好"])
+    # the built-in overlay closes the same gap with zero user data
+    assert make_frontend(lexicon_path).text_to_symbols(["猫很好。"])
 
 
 def test_greedy_fallback_segmentation():
@@ -109,5 +113,56 @@ def test_greedy_path_without_jieba(lexicon_path, monkeypatch):
     fe = make_frontend(lexicon_path)
     fe._jieba = None  # force the fallback
     got = fe.text_to_symbols(["你好世界。"])
-    want = pinyin_symbols(["ni3hao3 shi4jie4。"])
+    want = pinyin_symbols(["ni2hao3 shi4jie4。"])
     assert got == want
+
+
+# ---------------------------------------------------------------- built-in
+
+def test_builtin_lexicon_is_valid_and_conflict_free():
+    """Every entry of the in-tree core lexicon must resolve through the
+    PinYin syllable inventory, and the file must not silently redefine a
+    word (authoring-error guard)."""
+    import collections
+    import re
+
+    from kantts_tpu.text.lexicon_frontend import BUILTIN_LEXICON
+    from kantts_tpu.text.pinyin_frontend import pinyin_to_syllables
+
+    readings = collections.defaultdict(set)
+    with open(BUILTIN_LEXICON, encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            word, py = line.split("\t")
+            readings[word].add(py)
+            assert re.fullmatch(r"[\u3400-\u4dbf\u4e00-\u9fff\uf900-\ufaff]+",
+                                word), f"non-hanzi key {word!r}"
+            pinyin_to_syllables(py)  # raises on any invalid syllable
+    conflicts = {w: ps for w, ps in readings.items() if len(ps) > 1}
+    assert not conflicts, conflicts
+    assert len(readings) >= 2000
+
+
+def test_builtin_frontend_handles_raw_hanzi_with_no_user_data():
+    fe = make_frontend()
+    got = fe.text_to_symbols(["今天天气很好。"])
+    assert got and got[0]
+    # polyphone disambiguation via multi-char entries
+    assert "yin2hang2" in fe.hanzi_to_pinyin_line("银行")
+    assert "xing2" in fe.hanzi_to_pinyin_line("行走")
+
+
+def test_tone_sandhi():
+    from kantts_tpu.text.lexicon_frontend import apply_tone_sandhi
+
+    assert apply_tone_sandhi("ni3hao3") == "ni2hao3"
+    assert apply_tone_sandhi("zhan3lan3guan3") == "zhan2lan2guan3"
+    assert apply_tone_sandhi("bu4shi4") == "bu2shi4"
+    assert apply_tone_sandhi("bu4hao3") == "bu4hao3"
+    assert apply_tone_sandhi("yi1ge4") == "yi2ge4"
+    assert apply_tone_sandhi("yi1tian1") == "yi4tian1"
+    assert apply_tone_sandhi("yi1") == "yi1"       # word-final: unchanged
+    assert apply_tone_sandhi("di4yi1") == "di4yi1"  # ordinal-final
+    assert apply_tone_sandhi("ma5") == "ma5"
