@@ -61,6 +61,40 @@ def lstm_scan(
     return jnp.swapaxes(ys, 0, 1), (hT, cT)
 
 
+def lstm_scan_grouped(
+    x_proj: jnp.ndarray,
+    w_hh: jnp.ndarray,
+    b_hh: jnp.ndarray,
+    h0: jnp.ndarray,
+    c0: jnp.ndarray,
+) -> jnp.ndarray:
+    """G independent LSTM scans fused into ONE lax.scan (the recurrences
+    share no state, so batching them trades G serial scans for one scan
+    whose step does G-fold work — on TPU the scan-step launch/sync overhead
+    dominates these small recurrences, so this is nearly a G-fold win).
+
+    x_proj: (G, B, T, 4H); w_hh: (G, H, 4H); b_hh: (G, 4H);
+    h0/c0: (G, B, H). Returns outputs (G, B, T, H). Per-group numerics are
+    identical to lstm_scan (same dot, same op order).
+    """
+
+    def step(carry, xt):
+        h, c = carry  # (G, B, H)
+        gates = xt + jnp.einsum("gbh,ghk->gbk", h, w_hh) + b_hh[:, None, :]
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
+        g = jnp.tanh(g)
+        c = f * c + i * g
+        h = o * jnp.tanh(c)
+        return (h, c), h
+
+    unroll = int(os.environ.get("KANTTS_LSTM_UNROLL", "1"))
+    xs = jnp.moveaxis(x_proj, 2, 0)  # (T, G, B, 4H)
+    _, ys = jax.lax.scan(step, (h0, c0), xs,
+                         unroll=max(1, min(unroll, x_proj.shape[2])))
+    return jnp.moveaxis(ys, 0, 2)  # (G, B, T, H)
+
+
 def reverse_sequence(x: jnp.ndarray, lengths: Optional[jnp.ndarray]) -> jnp.ndarray:
     """Reverse each row's first ``lengths[b]`` steps; padding stays in place
     as zeros. x: (B, T, D)."""
@@ -130,27 +164,35 @@ class LSTM(nn.Module):
 
 
 class BiLSTM(nn.Module):
-    """Single-layer bidirectional LSTM with length-aware reverse direction."""
+    """Single-layer bidirectional LSTM with length-aware reverse direction.
+
+    Both directions run in ONE fused scan (lstm_scan_grouped): their
+    recurrences are independent, and on TPU the serial scan-step overhead —
+    not the tiny per-step matmuls — dominates, so two scans cost ~twice one.
+    Parameter names/layout match torch exactly (weights convertible 1:1)."""
 
     hidden: int
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, lengths: Optional[jnp.ndarray] = None):
         """x: (B, T, D) -> (B, T, 2H)."""
-        B = x.shape[0]
+        B, d_in = x.shape[0], x.shape[-1]
         init = _torch_lstm_init(self.hidden)
 
-        def run(h_in, suffix):
-            d_in = h_in.shape[-1]
+        def params(suffix):
             w_ih = self.param(f"w_ih_l0{suffix}", init, (d_in, 4 * self.hidden))
             w_hh = self.param(f"w_hh_l0{suffix}", init, (self.hidden, 4 * self.hidden))
             b_ih = self.param(f"b_ih_l0{suffix}", init, (4 * self.hidden,))
             b_hh = self.param(f"b_hh_l0{suffix}", init, (4 * self.hidden,))
-            h0 = jnp.zeros((B, self.hidden), dtype=x.dtype)
-            c0 = jnp.zeros((B, self.hidden), dtype=x.dtype)
-            ys, _ = lstm_scan(h_in @ w_ih + b_ih, w_hh, b_hh, h0, c0)
-            return ys
+            return w_ih, w_hh, b_ih, b_hh
 
-        fwd = run(x, "")
-        bwd = reverse_sequence(run(reverse_sequence(x, lengths), "_reverse"), lengths)
+        fw, fh, fbi, fbh = params("")
+        rw, rh, rbi, rbh = params("_reverse")
+        x_rev = reverse_sequence(x, lengths)
+        x_proj = jnp.stack([x @ fw + fbi, x_rev @ rw + rbi])  # (2, B, T, 4H)
+        zeros = jnp.zeros((2, B, self.hidden), dtype=x.dtype)
+        ys = lstm_scan_grouped(x_proj, jnp.stack([fh, rh]),
+                               jnp.stack([fbh, rbh]), zeros, zeros)
+        fwd = ys[0]
+        bwd = reverse_sequence(ys[1], lengths)
         return jnp.concatenate([fwd, bwd], axis=-1)

@@ -288,7 +288,19 @@ class Trainer:
     def maybe_shard(self, batch):
         if self.mesh is not None:
             return shard_batch(batch, self.mesh)
-        return batch
+        # Single device: dispatch the host->device copy NOW (device_put is
+        # async) so the _lookahead prefetch actually overlaps the transfer
+        # with the previous step's compute. Without this the numpy batch
+        # transferred synchronously INSIDE the jitted step call — on this
+        # box's relay-attached TPU that serialized ~20-30 MB per step into
+        # the step's critical path (round-5 phase profile: step_dispatch was
+        # 97% of wall with loader_wait ~0, at 2.35 steps/s sustained vs 15.5
+        # isolated).
+        return jax.tree_util.tree_map(
+            lambda x: (jax.device_put(x)
+                       if hasattr(x, "shape") and getattr(x, "ndim", 0)
+                       else x),
+            batch)
 
     # ------------------------------------------------------------- intervals
 
