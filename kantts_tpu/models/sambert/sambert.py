@@ -388,6 +388,7 @@ class KanTtsSAMBERT(nn.Module):
         fp_plan: Optional[Tuple[jnp.ndarray, ...]] = None,
         fp_dict_lings: Optional[jnp.ndarray] = None,
         deterministic: bool = False,
+        ss_prob: Optional[jnp.ndarray] = None,
     ) -> Dict[str, Any]:
         """Teacher-forced training forward. Shapes are static; mel length is a
         multiple of r; durations sum to the padded mel length per item."""
@@ -479,8 +480,27 @@ class KanTtsSAMBERT(nn.Module):
         lfr_lengths = (output_lengths + r - 1) // r
         lfr_masks = get_mask_from_lengths(lfr_lengths, T_mel // r)
 
+        dec_in = mel_targets
+        if ss_prob is not None:
+            # Scheduled sampling (two-pass): at inference the decoder feeds
+            # back its OWN coarse frames (pnca.py decode driver), but teacher
+            # forcing always shows it ground truth — the exposure-bias root
+            # of the TF->free-running MCD gap. Pass 1 (gradient-stopped)
+            # produces the model's coarse frames; the prev-mel input of pass
+            # 2 swaps ground truth for them on Bernoulli(ss_prob)-sampled
+            # LFR groups. Only pass 2 takes gradient.
+            dec1, _, _ = self.mel_decoder(
+                memory, x_band_width, h_band_width, mel_targets, lfr_masks,
+                deterministic, return_attns=False,
+            )
+            own = jax.lax.stop_gradient(dec1).reshape(B, T_mel, self.d_mel)
+            take = jax.random.bernoulli(
+                self.make_rng("dropout"), ss_prob, (B, T_mel // r))
+            take = jnp.repeat(take, r, axis=1)[..., None]
+            dec_in = jnp.where(take, own.astype(mel_targets.dtype), mel_targets)
+
         dec_outputs, pnca_x_attn, pnca_h_attn = self.mel_decoder(
-            memory, x_band_width, h_band_width, mel_targets, lfr_masks,
+            memory, x_band_width, h_band_width, dec_in, lfr_masks,
             deterministic, return_attns=True,
         )
         dec, post = self.decode_postnet(dec_outputs, output_masks, deterministic)

@@ -79,7 +79,17 @@ def make_sambert_step(
     parallel.tp), params/optimizer leaves are additionally sharded over the
     ``model`` axis (DP x TP)."""
 
-    def compute_losses(params, batch, rng, epoch, deterministic):
+    # Scheduled sampling vs exposure bias: config key
+    # ``scheduled_sampling_prob`` (max replacement probability, 0 = off,
+    # classic two-pass sampling on the PNCA prev-mel input) with a linear
+    # ramp over ``scheduled_sampling_ramp_steps`` so early training stays
+    # fully teacher-forced while the decoder is still random.
+    _cfg = getattr(model, "config", {}) or {}
+    ss_max = float(_cfg.get("scheduled_sampling_prob", 0.0))
+    ss_ramp = float(_cfg.get("scheduled_sampling_ramp_steps", 10_000))
+
+    def compute_losses(params, batch, rng, epoch, deterministic,
+                       ss_prob=None):
         rngs = {"dropout": rng} if not deterministic else {}
         res = model.apply(
             {"params": params},
@@ -98,6 +108,7 @@ def make_sambert_step(
             fp_dict_lings=(jnp.asarray(fp_dict_lings)
                            if fp_dict_lings is not None else None),
             deterministic=deterministic,
+            ss_prob=ss_prob,
             rngs=rngs,
         )
         mel_loss_, mel_loss = criterion["MelReconLoss"](
@@ -149,8 +160,13 @@ def make_sambert_step(
                          state_shardings=state_shardings)
 
     def train_step(state: TrainState, batch, rng, epoch):
+        ss_prob = None
+        if ss_max > 0.0:
+            ss_prob = ss_max * jnp.minimum(
+                state.step.astype(jnp.float32) / ss_ramp, 1.0)
         grad_fn = jax.value_and_grad(
-            lambda p: compute_losses(p, batch, rng, epoch, False), has_aux=True
+            lambda p: compute_losses(p, batch, rng, epoch, False,
+                                     ss_prob=ss_prob), has_aux=True
         )
         (_, metrics), grads = grad_fn(state.params)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)

@@ -119,3 +119,34 @@ def test_prune_checkpoints_keeps_last_k(tmp_path):
     # keep_last=0 disables retention
     prune_checkpoints(ckpt_dir, keep_last=0)
     assert sorted(os.listdir(ckpt_dir)) == kept
+
+
+def test_pack_put_roundtrip():
+    """Single-device batch transfer packs all leaves into one buffer and
+    carves them back out on-device: values, dtypes, shapes, and non-array
+    leaves must round-trip exactly (int64/float64 canonicalize like
+    device_put does with x64 off)."""
+    import numpy as np
+
+    from kantts_tpu.train.trainer import pack_put
+
+    rng = np.random.RandomState(0)
+    batch = {
+        "f32": rng.randn(4, 7, 3).astype(np.float32),
+        "i64": rng.randint(0, 100, (4, 9)),
+        "i32": np.asarray([3, 1, 2, 9], dtype=np.int32),
+        "bool": rng.rand(2, 5) > 0.5,
+        "f16": rng.randn(3, 2).astype(np.float16),
+        "none": None,
+        "scalar": 7,
+        "nested": {"h": rng.randn(2, 2).astype(np.float32)},
+    }
+    out = pack_put(batch)
+    for key in ("f32", "i32", "f16"):
+        assert np.array_equal(np.asarray(out[key]), batch[key])
+        assert out[key].dtype == batch[key].dtype
+    assert np.array_equal(np.asarray(out["i64"]), batch["i64"])
+    assert out["i64"].dtype == np.int32
+    assert np.array_equal(np.asarray(out["bool"]), batch["bool"])
+    assert np.array_equal(np.asarray(out["nested"]["h"]), batch["nested"]["h"])
+    assert out["none"] is None and out["scalar"] == 7

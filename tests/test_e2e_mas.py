@@ -71,3 +71,30 @@ def test_train_sambert_mas(mas_corpus, tmp_path):
     cfg_path.write_text(yaml.safe_dump(cfg))
     train(str(cfg_path), str(mas_corpus), str(stage), data_parallel=False)
     assert glob.glob(str(stage / "ckpt" / "*.ckpt"))
+
+
+def test_train_sambert_mas_scheduled_sampling(mas_corpus, tmp_path):
+    """Scheduled sampling (two-pass decode mixing the model's own coarse
+    frames into the teacher-forced prev-mel input) trains end-to-end with
+    finite losses; exposure-bias mitigation for the TF->free-running gap."""
+    from kantts_tpu.bin.train_sambert import train
+
+    stage = tmp_path / "am_mas_ss"
+    stage.mkdir()
+    cfg = yaml.safe_load(yaml.safe_dump(SAMBERT_TINY))
+    params = cfg["Model"]["KanTtsSAMBERT"]["params"]
+    params["MAS"] = True
+    params["scheduled_sampling_prob"] = 0.5
+    params["scheduled_sampling_ramp_steps"] = 2
+    cfg["Loss"]["AttentionCTCLoss"] = {"enable": True}
+    cfg["Loss"]["AttentionBinarizationLoss"] = {
+        "enable": True, "params": {"start_epoch": 0, "warmup_epoch": 10}
+    }
+    cfg["train_max_steps"] = 4
+    cfg["save_interval_steps"] = 2
+    cfg_path = stage / "model.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    train(str(cfg_path), str(mas_corpus), str(stage), data_parallel=False)
+    assert glob.glob(str(stage / "ckpt" / "*.ckpt"))
+    log = (stage / "stdout.log").read_text()
+    assert "nan" not in log.lower().split("totalloss")[-1][:40]

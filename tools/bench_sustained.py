@@ -60,16 +60,17 @@ def ensure_corpus(corpus_dir, n):
     )
 
 
-def stage_config(model, total_steps, max_steps, out_path):
+def stage_config(model, total_steps, max_steps, out_path, keep_all=False,
+                 n_saves=5):
     name = ("sambert_16k_MAS.yaml" if model == "sambert"
             else "hifigan_v1_16k.yaml")
     cfg = yaml.safe_load(open(os.path.join(REPO, "kantts_tpu/configs", name)))
     cfg.update(
         train_max_steps=max_steps,
-        save_interval_steps=max(total_steps // 5, 1),
+        save_interval_steps=max(total_steps // n_saves, 1),
         eval_interval_steps=max(total_steps // 4, 1),
         log_interval_steps=100,
-        keep_last_checkpoints=3,
+        keep_last_checkpoints=0 if keep_all else 3,
         async_checkpoint=True,
         num_workers=2,
         # coarse buckets: the 1.5-16 s corpus spans many default buckets and
@@ -158,8 +159,14 @@ def main():
     ap.add_argument("--stage", default=None)
     ap.add_argument("--segment-steps", type=int, default=None,
                     help="steps per process segment (default: the save "
-                    "interval = steps//5; must be a multiple of it so every "
-                    "segment ends on a checkpoint)")
+                    "interval = steps//n-saves; must be a multiple of it so "
+                    "every segment ends on a checkpoint)")
+    ap.add_argument("--keep-all-ckpts", action="store_true",
+                    help="retain every interval checkpoint (trend evals via "
+                    "tools/quality_trend.py need them)")
+    ap.add_argument("--n-saves", type=int, default=5,
+                    help="number of save intervals across the run (also the "
+                    "trend-eval granularity with --keep-all-ckpts)")
     args = ap.parse_args()
 
     ensure_corpus(args.corpus, args.n_utts)
@@ -167,7 +174,7 @@ def main():
     os.makedirs(stage, exist_ok=True)
     cfg_path = os.path.join(stage, "model_config.yaml")
 
-    save_interval = max(args.steps // 5, 1)
+    save_interval = max(args.steps // args.n_saves, 1)
     seg = args.segment_steps or save_interval
     if seg % save_interval:
         raise SystemExit(f"--segment-steps {seg} must be a multiple of the "
@@ -184,7 +191,8 @@ def main():
     _, done_steps = latest_checkpoint(stage)
     while done_steps < args.steps:
         boundary = min(done_steps + seg, args.steps)
-        stage_config(args.model, args.steps, boundary, cfg_path)
+        stage_config(args.model, args.steps, boundary, cfg_path,
+                     keep_all=args.keep_all_ckpts, n_saves=args.n_saves)
         resume, at = latest_checkpoint(stage)
         t_seg = time.time()
         peak = run_segment(args.model, cfg_path, args.corpus, stage, resume,

@@ -34,7 +34,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def last_checkpoint(stage):
+def last_checkpoint(stage, at_steps=None):
+    """Newest checkpoint in the stage, or the exact one at ``at_steps``
+    (trend evaluation over retained checkpoints)."""
     ckpt_dir = os.path.join(stage, "ckpt")
     ckpts = []
     for name in os.listdir(ckpt_dir):
@@ -42,8 +44,39 @@ def last_checkpoint(stage):
             ckpts.append((int(name[len("checkpoint_"):-len(".ckpt")]), name))
     if not ckpts:
         raise SystemExit(f"no checkpoints in {ckpt_dir}")
+    if at_steps is not None:
+        match = [c for c in ckpts if c[0] == at_steps]
+        if not match:
+            raise SystemExit(f"no checkpoint at step {at_steps} in {ckpt_dir} "
+                             f"(have {sorted(s for s, _ in ckpts)})")
+        ckpts = match
     steps, name = max(ckpts)
     return os.path.join(ckpt_dir, name), steps
+
+
+def _identity_fields(args):
+    """Corpus/config/eval-set identity: what made the round-4 cross-
+    checkpoint MCD comparisons unreadable was that n/corpus/eval-set
+    changed silently between records. Every quality JSON now carries
+    enough identity to judge comparability."""
+    import hashlib
+
+    corpus_meta = os.path.join(args.corpus, "raw_metafile.txt")
+    n_corpus = None
+    if os.path.exists(corpus_meta):
+        with open(corpus_meta) as f:
+            n_corpus = sum(1 for ln in f if ln.strip())
+    cfg_path = os.path.join(args.stage, "config.yaml")
+    cfg_hash = None
+    if os.path.exists(cfg_path):
+        cfg_hash = hashlib.sha256(open(cfg_path, "rb").read()).hexdigest()[:12]
+    return {
+        "corpus": os.path.abspath(args.corpus),
+        "corpus_n_utts": n_corpus,
+        "stage_config_sha": cfg_hash,
+        "eval_n_requested": args.n,
+        "eval_protocol": "first-n of am_valid/valid.lst, fixed order, v1",
+    }
 
 
 def read_valid_utts(corpus, name):
@@ -127,7 +160,7 @@ def eval_sambert(args):
                                               load_am_checkpoint)
     from kantts_tpu.utils.metrics import mel_cepstral_distortion
 
-    ckpt, steps = last_checkpoint(args.stage)
+    ckpt, steps = last_checkpoint(args.stage, args.ckpt_steps)
     model, variables, ling_unit, cfg = load_am_checkpoint(ckpt)
     lines = read_valid_utts(args.corpus, "am_valid.lst")[: args.n]
     utts = [ln.split("\t")[0] for ln in lines]
@@ -150,6 +183,8 @@ def eval_sambert(args):
         "model": "sambert",
         "checkpoint_steps": steps,
         "n_valid_utts": len(utts),
+        "eval_utts": utts,
+        **_identity_fields(args),
         "mcd_free_running_vs_target_db": round(float(np.mean(mcds)), 3),
         "mcd_per_utt_db": [round(float(m), 3) for m in mcds],
         "predicted_over_target_length": round(float(np.mean(len_ratio)), 3),
@@ -174,7 +209,7 @@ def eval_hifigan(args):
     from kantts_tpu.utils.audio import read_wav
     from kantts_tpu.utils.metrics import mcd_between_wavs
 
-    ckpt, steps = last_checkpoint(args.stage)
+    ckpt, steps = last_checkpoint(args.stage, args.ckpt_steps)
     lines = read_valid_utts(args.corpus, "valid.lst")[: args.n]
     utts = [os.path.splitext(os.path.basename(ln.split("\t")[0]))[0]
             for ln in lines]
@@ -203,6 +238,8 @@ def eval_hifigan(args):
         "model": "hifigan",
         "checkpoint_steps": steps,
         "n_valid_utts": len(utts),
+        "eval_utts": utts,
+        **_identity_fields(args),
         "mcd_copy_synthesis_vs_target_db": round(float(np.mean(mcds)), 3),
         "mcd_per_utt_db": [round(float(m), 3) for m in mcds],
         "logmel_l1_vs_target": round(float(np.mean(lmel_l1)), 4),
@@ -238,10 +275,16 @@ def main():
                     help="validation utterances to evaluate")
     ap.add_argument("--voc-ckpt", default=None,
                     help="(sambert) vocoder checkpoint for eval wavs")
+    ap.add_argument("--ckpt-steps", type=int, default=None,
+                    help="evaluate the checkpoint at this exact step "
+                         "(default: the newest) — trend evaluation")
+    ap.add_argument("--out-suffix", default="",
+                    help="suffix for the output JSON name (trend records)")
     args = ap.parse_args()
 
     report = eval_sambert(args) if args.model == "sambert" else eval_hifigan(args)
-    out = os.path.join(REPO, "tools", f"sustained_quality_{args.model}.json")
+    out = os.path.join(REPO, "tools",
+                       f"sustained_quality_{args.model}{args.out_suffix}.json")
     with open(out, "w") as f:
         json.dump(report, f, indent=2)
         f.write("\n")
