@@ -54,6 +54,9 @@ class Generator(nn.Module):
     # and halves weight/activation HBM traffic; quality cost is measured by
     # tools/quant_report.py, not assumed.
     quant: bool = False
+    quant_static: bool = False  # static calibrated act scales (PTQ; enables
+    # bit-exact chunked-batch inference under int8 — see layers.py mixin)
+    calibrate: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, excitation: Optional[jnp.ndarray] = None,
@@ -119,6 +122,7 @@ class Generator(nn.Module):
                 ch, k, padding=(k - 1) // 2, causal=self.causal,
                 use_bias=self.bias, use_weight_norm=self.use_weight_norm,
                 dtype=self.dtype, quant=self.quant,
+                quant_static=self.quant_static, calibrate=self.calibrate,
                 name=f"repeat_upsamples_{i}",
             )(rep)
 
@@ -127,6 +131,7 @@ class Generator(nn.Module):
                 ch, up_k, stride=scale, padding=(up_k - scale) // 2,
                 causal=self.causal, use_weight_norm=self.use_weight_norm,
                 dtype=self.dtype, quant=self.quant,
+                quant_static=self.quant_static, calibrate=self.calibrate,
                 name=f"transpose_upsamples_{i}",
             )(up)
 
@@ -153,6 +158,7 @@ class Generator(nn.Module):
                     nonlinear_activation=self.nonlinear_activation,
                     nonlinear_activation_params=self.nonlinear_activation_params,
                     causal=self.causal, dtype=self.dtype, quant=self.quant,
+                quant_static=self.quant_static, calibrate=self.calibrate,
                     name=f"conv_blocks_{i}_{j}",
                 )(h)
                 acc = out if acc is None else acc + out
@@ -165,3 +171,29 @@ class Generator(nn.Module):
             dtype=self.dtype, name="conv_post",
         )(h)
         return jnp.tanh(h)
+
+
+def calibrate_quant_scales(generator, params, mels, rng=None):
+    """Record static int8 activation scales (PTQ) over calibration mels.
+
+    ``generator`` must be constructed with ``quant=True, quant_static=True,
+    calibrate=True`` (math runs in f32 during calibration; only amax is
+    recorded). Returns the ``quant`` variable collection to pass alongside
+    params at inference: ``gen.apply({"params": p, "quant": scales}, mel)``
+    with a generator built with ``quant=True, quant_static=True``.
+
+    Static scales make int8 quantization input-independent, which restores
+    the chunked-batch bit-exactness contract that dynamic per-example
+    scales break (infer/chunked.py)."""
+    import jax as _jax
+
+    rng = rng if rng is not None else _jax.random.PRNGKey(0)
+    qvars = None
+    for mel in mels:
+        variables = {"params": params}
+        if qvars is not None:
+            variables["quant"] = qvars
+        _, mut = generator.apply(variables, mel, mutable=["quant"],
+                                 rngs={"noise": rng})
+        qvars = mut["quant"]
+    return qvars

@@ -58,6 +58,32 @@ def _act_scale(x: jnp.ndarray) -> jnp.ndarray:
         jnp.max(jnp.abs(x), axis=(1, 2), keepdims=True), 1e-12) / 127.0
 
 
+class _StaticScaleMixin:
+    """Static calibrated activation scales for int8 (PTQ).
+
+    Dynamic per-example scales depend on each example's content, which
+    breaks the chunked-batch bit-exactness contract (a window of an
+    utterance has a different amax than the whole utterance). With a
+    STATIC per-tensor scale — recorded over calibration data into the
+    ``quant`` variable collection — quantization is input-independent, so
+    a chunked window reproduces the full program bit-for-bit (int32
+    accumulation is order-exact, unlike f32). Calibration: apply with
+    ``calibrate=True`` and ``mutable=["quant"]``; the conv runs in f32
+    (downstream layers see reference activations) while recording the
+    running amax."""
+
+    def _static_or_dynamic_scale(self, x):
+        if self.calibrate:
+            s_var = self.variable("quant", "s_x", lambda: jnp.zeros(()))
+            s_var.value = jnp.maximum(s_var.value,
+                                      jnp.max(jnp.abs(x)) / 127.0)
+            return None  # caller runs the f32 path while calibrating
+        if self.quant_static:
+            s_var = self.variable("quant", "s_x", lambda: jnp.zeros(()))
+            return jnp.maximum(s_var.value, 1e-12)
+        return _act_scale(x)
+
+
 def _kaiming_uniform_conv_init(key, shape, dtype=jnp.float32):
     """Torch Conv default init: kaiming_uniform(a=sqrt(5)) == U(-b, b) with
     b = sqrt(1 / fan_in); shape is (k, in, out) so fan_in = k * in."""
@@ -75,7 +101,7 @@ def _torch_conv_bias_init(fan_in: int):
     return init
 
 
-class WNConv1d(nn.Module):
+class WNConv1d(nn.Module, _StaticScaleMixin):
     """Weight-normalized 1-D convolution over (B, T, C_in) -> (B, T', C_out).
 
     ``causal=False``: symmetric 'same'-style padding of ``padding`` frames.
@@ -94,6 +120,8 @@ class WNConv1d(nn.Module):
     use_weight_norm: bool = True
     dtype: jnp.dtype = jnp.float32
     quant: bool = False  # serving-time int8 W8A8 on the same f32 params
+    quant_static: bool = False  # static calibrated act scales (see mixin)
+    calibrate: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -123,13 +151,14 @@ class WNConv1d(nn.Module):
         else:
             pads = [(self.padding, self.padding)]
 
-        if self.quant:
+        s_x = self._static_or_dynamic_scale(x) if self.quant else None
+        if self.quant and s_x is not None:
             # int8 conv on the MXU: per-output-channel weight scales
-            # (axes k, in), dynamic per-tensor activation scale; accumulate
-            # in int32 and rescale. Zero padding quantizes to exact zero, so
-            # causal/same padding semantics are unchanged.
+            # (axes k, in), dynamic per-example or static calibrated
+            # activation scale; accumulate in int32 and rescale. Zero
+            # padding quantizes to exact zero, so causal/same padding
+            # semantics are unchanged.
             s_w = jnp.maximum(jnp.max(jnp.abs(w), axis=(0, 1)), 1e-12) / 127.0
-            s_x = _act_scale(x)
             y = jax.lax.conv_general_dilated(
                 _quantize_sym(x, s_x),
                 _quantize_sym(w, s_w[None, None, :]),
@@ -158,7 +187,7 @@ class WNConv1d(nn.Module):
         return y
 
 
-class WNConvTranspose1d(nn.Module):
+class WNConvTranspose1d(nn.Module, _StaticScaleMixin):
     """Weight-normalized transposed 1-D convolution (B, T, C) -> (B, T*s, C').
 
     Non-causal: torch-style padding ``(kernel-stride)//2`` trimmed from both
@@ -176,6 +205,8 @@ class WNConvTranspose1d(nn.Module):
     use_weight_norm: bool = True
     dtype: jnp.dtype = jnp.float32
     quant: bool = False  # serving-time int8 W8A8 on the same f32 params
+    quant_static: bool = False  # static calibrated act scales (see mixin)
+    calibrate: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -197,11 +228,11 @@ class WNConvTranspose1d(nn.Module):
         else:
             w = v
 
-        if self.quant:
+        s_x = self._static_or_dynamic_scale(x) if self.quant else None
+        if self.quant and s_x is not None:
             # kernel layout is (k, out, in): per-output-channel scales over
             # axes (k, in) = (0, 2)
             s_w = jnp.maximum(jnp.max(jnp.abs(w), axis=(0, 2)), 1e-12) / 127.0
-            s_x = _act_scale(x)
             y = jax.lax.conv_transpose(
                 _quantize_sym(x, s_x),
                 _quantize_sym(w, s_w[None, :, None]),
@@ -245,6 +276,8 @@ class ResidualBlock(nn.Module):
     causal: bool = False
     dtype: jnp.dtype = jnp.float32
     quant: bool = False
+    quant_static: bool = False
+    calibrate: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -258,12 +291,14 @@ class ResidualBlock(nn.Module):
             xt = WNConv1d(
                 self.channels, k, padding=(k * d - d) // 2, dilation=d,
                 causal=self.causal, dtype=self.dtype, quant=self.quant,
+                quant_static=self.quant_static, calibrate=self.calibrate,
                 name=f"convs1_{i}",
             )(xt)
             xt = act(xt)
             xt = WNConv1d(
                 self.channels, k, padding=(k - 1) // 2, dilation=1,
                 causal=self.causal, dtype=self.dtype, quant=self.quant,
+                quant_static=self.quant_static, calibrate=self.calibrate,
                 name=f"convs2_{i}",
             )(xt)
             x = xt + x

@@ -82,3 +82,37 @@ def test_quant_batch_composition_invariant():
     loud = 50.0 * _mel(B=1, T=50)
     y_batched = np.asarray(genq.apply(params, jnp.concatenate([mel, loud])))
     np.testing.assert_array_equal(y_alone[0], y_batched[0])
+
+
+def test_static_quant_chunked_bit_exact():
+    """Static calibrated scales make int8 quantization input-independent,
+    so chunked-batch inference reproduces the full int8 program BIT-EXACTLY
+    (int32 accumulation is order-exact) — the contract dynamic per-example
+    scales cannot give (a window's amax differs from the utterance's)."""
+    from kantts_tpu.infer.chunked import chunked_apply
+    from kantts_tpu.models.hifigan.generator import calibrate_quant_scales
+
+    mel = _mel(B=1, T=64)
+    gen = Generator(**KW)
+    params = gen.init(jax.random.PRNGKey(0), mel)["params"]
+
+    gen_cal = Generator(**KW, quant=True, quant_static=True, calibrate=True)
+    scales = calibrate_quant_scales(gen_cal, params, [mel])
+    assert scales and all(
+        float(v["s_x"]) > 0 for v in jax.tree_util.tree_leaves(
+            scales, is_leaf=lambda x: isinstance(x, dict) and "s_x" in x))
+
+    gen_q = Generator(**KW, quant=True, quant_static=True)
+    variables = {"params": params, "quant": scales}
+    full = np.asarray(jax.jit(gen_q.apply)(variables, mel))
+    rng = jax.random.PRNGKey(0)
+    chunked = np.asarray(jax.jit(
+        lambda v, m, r: chunked_apply(gen_q, v, m, r, n_chunks=4)
+    )(variables, mel, rng))
+    assert full.shape == chunked.shape
+    np.testing.assert_array_equal(chunked, full)
+
+    # static-int8 stays close to f32 (quality guard, same bound as dynamic)
+    y32 = np.asarray(jax.jit(gen.apply)({"params": params}, mel))
+    rel = np.linalg.norm(full - y32) / np.linalg.norm(y32)
+    assert rel < 0.05, rel

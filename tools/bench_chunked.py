@@ -32,6 +32,12 @@ def main():
     dtype_name = os.environ.get("KANTTS_BENCH_DTYPE", "bfloat16")
     dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[dtype_name]
     voc = os.environ.get("KANTTS_BENCH_VOC", "16k")  # 16k | nsf24k
+    # int8 W8A8 with STATIC calibrated activation scales: quantization is
+    # then input-independent, so the chunked windows reproduce the full
+    # program bit-exactly and the B=1 chunked path is valid under int8
+    # (dynamic per-example scales would break it — see hifigan/layers.py).
+    int8 = os.environ.get("KANTTS_BENCH_INT8", "0") == "1"
+    quant_kw = dict(quant=True, quant_static=True) if int8 else {}
     rs = np.random.RandomState(0)
     if voc == "nsf24k":
         import yaml
@@ -41,7 +47,7 @@ def main():
         params_cfg = yaml.safe_load(open(os.path.join(
             REPO, "kantts_tpu/configs/hifigan_v1_nsf_24k.yaml"
         )))["Model"]["Generator"]["params"]
-        gen = Generator(**{**params_cfg, "dtype": dtype})
+        gen = Generator(**{**params_cfg, "dtype": dtype, **quant_kw})
         sample_rate, hop = 24000, 240
         secs = float(os.environ.get("KANTTS_BENCH_SECONDS", "5"))
         frames = int(sample_rate * secs) // hop
@@ -51,14 +57,26 @@ def main():
         mel = jnp.asarray(x)
     else:
         sample_rate, hop, frames = 16000, 200, 400
-        gen = _hifigan_16k(dtype=dtype)
+        gen = _hifigan_16k(dtype=dtype, **quant_kw)
         mel = jnp.asarray(rs.randn(1, frames, 80).astype(np.float32))
     params = gen.init(jax.random.PRNGKey(0), mel)
     rng = jax.random.PRNGKey(0)
+    if int8:
+        from kantts_tpu.models.hifigan.generator import (
+            calibrate_quant_scales,
+        )
+
+        cal = gen.clone(calibrate=True)
+        params = dict(params)
+        params["quant"] = calibrate_quant_scales(
+            cal, params["params"], [mel], rng=rng)
+        dtype_name = f"{dtype_name}+int8_static"
     n_iter = int(os.environ.get("KANTTS_BENCH_ITERS", "50"))
 
     results = []
-    for n_chunks in (0, 2, 4, 8, 16):
+    sweep = tuple(int(s) for s in os.environ.get(
+        "KANTTS_BENCH_CHUNK_SET", "0,2,4,8,16").split(","))
+    for n_chunks in sweep:
         if n_chunks == 0:  # plain full program baseline
             plain = jax.jit(
                 lambda p, m: gen.apply(p, m, rngs={"noise": rng}))
