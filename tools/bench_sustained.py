@@ -61,7 +61,7 @@ def ensure_corpus(corpus_dir, n):
 
 
 def stage_config(model, total_steps, max_steps, out_path, keep_all=False,
-                 n_saves=5):
+                 n_saves=5, model_params=()):
     name = ("sambert_16k_MAS.yaml" if model == "sambert"
             else "hifigan_v1_16k.yaml")
     cfg = yaml.safe_load(open(os.path.join(REPO, "kantts_tpu/configs", name)))
@@ -81,6 +81,12 @@ def stage_config(model, total_steps, max_steps, out_path, keep_all=False,
     )
     if model == "sambert":
         cfg["linguistic_unit"]["speaker_list"] = "F7,F1,M2,M9"
+    for kv in model_params:  # e.g. scheduled_sampling_prob=0.5
+        key, val = kv.split("=", 1)
+        section = (cfg["Model"]["KanTtsSAMBERT"]["params"]
+                   if model == "sambert"
+                   else cfg["Model"]["Generator"]["params"])
+        section[key] = yaml.safe_load(val)
     with open(out_path, "w") as f:
         yaml.safe_dump(cfg, f)
     return cfg
@@ -167,6 +173,13 @@ def main():
     ap.add_argument("--n-saves", type=int, default=5,
                     help="number of save intervals across the run (also the "
                     "trend-eval granularity with --keep-all-ckpts)")
+    ap.add_argument("--model-param", action="append", default=[],
+                    metavar="KEY=VAL",
+                    help="override a Model params key in the staged config "
+                    "(e.g. scheduled_sampling_prob=0.5); repeatable")
+    ap.add_argument("--out-suffix", default="",
+                    help="suffix for the report filename (variant runs, "
+                    "e.g. _ss, so they don't clobber the baseline record)")
     args = ap.parse_args()
 
     ensure_corpus(args.corpus, args.n_utts)
@@ -192,7 +205,8 @@ def main():
     while done_steps < args.steps:
         boundary = min(done_steps + seg, args.steps)
         stage_config(args.model, args.steps, boundary, cfg_path,
-                     keep_all=args.keep_all_ckpts, n_saves=args.n_saves)
+                     keep_all=args.keep_all_ckpts, n_saves=args.n_saves,
+                     model_params=args.model_param)
         resume, at = latest_checkpoint(stage)
         t_seg = time.time()
         peak = run_segment(args.model, cfg_path, args.corpus, stage, resume,
@@ -217,6 +231,9 @@ def main():
     report = {
         "model": args.model,
         "steps": args.steps,
+        "model_params": list(args.model_param),
+        "corpus": args.corpus,
+        "corpus_n_utts": args.n_utts,
         "wall_s": round(wall, 1),
         "segments": seg_reports,
         "steps_per_sec_series": sps,
@@ -232,7 +249,8 @@ def main():
                      "Segments bound it; a real TPU host does not leak."),
         "ckpts_kept": sorted(os.listdir(os.path.join(stage, "ckpt"))),
     }
-    out = os.path.join(REPO, "tools", f"sustained_{args.model}.json")
+    out = os.path.join(
+        REPO, "tools", f"sustained_{args.model}{args.out_suffix}.json")
     with open(out, "w") as f:
         json.dump(report, f, indent=2)
         f.write("\n")
