@@ -188,12 +188,15 @@ def calibrate_quant_scales(generator, params, mels, rng=None):
     import jax as _jax
 
     rng = rng if rng is not None else _jax.random.PRNGKey(0)
+    # jit: eager flax apply dispatches one op at a time, which is
+    # pathological on a relay-attached device (one RPC per op); one
+    # compiled program per calibration shape instead
+    run = _jax.jit(lambda v, m: generator.apply(
+        v, m, mutable=["quant"], rngs={"noise": rng})[1]["quant"])
     qvars = None
     for mel in mels:
         variables = {"params": params}
         if qvars is not None:
             variables["quant"] = qvars
-        _, mut = generator.apply(variables, mel, mutable=["quant"],
-                                 rngs={"noise": rng})
-        qvars = mut["quant"]
+        qvars = run(variables, mel)
     return qvars

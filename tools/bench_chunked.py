@@ -59,7 +59,8 @@ def main():
         sample_rate, hop, frames = 16000, 200, 400
         gen = _hifigan_16k(dtype=dtype, **quant_kw)
         mel = jnp.asarray(rs.randn(1, frames, 80).astype(np.float32))
-    params = gen.init(jax.random.PRNGKey(0), mel)
+    # jitted init: eager init is one RPC per op on the relay-attached TPU
+    params = jax.jit(gen.init)(jax.random.PRNGKey(0), mel)
     rng = jax.random.PRNGKey(0)
     if int8:
         from kantts_tpu.models.hifigan.generator import (
