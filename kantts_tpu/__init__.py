@@ -12,3 +12,11 @@ The compute path is JAX/Flax compiled by XLA for TPU; auxiliary native code
 """
 
 __version__ = "0.1.0"
+
+# Cross-process compile reuse: on the remote-compile TPU service every
+# process otherwise re-pays minutes of compilation per program (resumed
+# training segments re-paid the ~10-minute step compile). See
+# utils/exec_cache.py; disable with KANTTS_COMPILE_CACHE=0.
+from kantts_tpu.utils.exec_cache import enable as _enable_compile_cache
+
+_enable_compile_cache()

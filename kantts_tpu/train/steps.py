@@ -37,7 +37,12 @@ def _jit_step(fn, mesh, n_data_args: int, donate: bool = True,
     from parallel.tp.tp_shardings) switches the state to tensor-parallel
     layout: state in/out sharded over the ``model`` axis, batch still
     sharded over ``data`` — the same step program becomes a DP x TP SPMD
-    program on a 2-D mesh."""
+    program on a 2-D mesh.
+
+    Cross-process compile reuse comes from the persistent compilation
+    cache enabled package-wide (utils/exec_cache.py) — a resumed training
+    segment otherwise re-paid the ~10-minute remote step compile, which
+    dominated the sustained-throughput gap."""
     donate_argnums = (0,) if donate else ()
     if mesh is None:
         return jax.jit(fn, donate_argnums=donate_argnums)

@@ -16,6 +16,7 @@ generator/discriminator sub-dicts, trainer.py:591-632).
 
 from __future__ import annotations
 
+import functools
 import logging
 import os
 import time
@@ -316,6 +317,18 @@ class Trainer:
             return shard_batch(batch, self.mesh)
         return pack_put(batch)
 
+    def device_state(self, state):
+        """One-transfer device placement of a restored (numpy-leaf) state.
+
+        After ``from_bytes`` the state leaves are numpy; left that way, the
+        first step call transfers them ARG-BY-ARG (hundreds of host
+        round-trips on the relay-attached TPU — measured ~5 min of every
+        resumed segment's start). Single-device: one packed transfer. With
+        a mesh: leave placement to the step's in_shardings."""
+        if self.mesh is not None:
+            return state
+        return pack_put(state)
+
     # ------------------------------------------------------------- intervals
 
     def check_save_interval(self):
@@ -544,7 +557,8 @@ class SambertTrainer(Trainer):
         opt_state = (loaded["optimizer"] if restore_training_state
                      else self.state.opt_state)
         step = loaded["steps"] if restore_training_state else self.state.step
-        self.state = TrainState(loaded["model"], opt_state, jnp.asarray(step))
+        self.state = self.device_state(
+            TrainState(loaded["model"], opt_state, jnp.asarray(step)))
         if restore_training_state:
             # the checkpoint records COMPLETED steps; resume at the next one
             self.steps = int(loaded["steps"]) + 1
@@ -649,23 +663,23 @@ class GanTrainer(Trainer):
             # (state.step keeps the completed count — the jitted step
             # increments it)
             self.steps = int(loaded["steps"]) + 1
-            self.state = GanTrainState(
+            self.state = self.device_state(GanTrainState(
                 loaded["model"]["generator"],
                 loaded["optimizer"]["generator"],
                 loaded["model"]["discriminator"],
                 loaded["optimizer"]["discriminator"],
                 loaded["spectral"],
                 jnp.asarray(int(loaded["steps"])),
-            )
+            ))
         else:  # fine-tune style: weights only (reference train_hifigan.py:167)
-            self.state = GanTrainState(
+            self.state = self.device_state(GanTrainState(
                 loaded["model"]["generator"],
                 self.state.gen_opt_state,
                 loaded["model"]["discriminator"],
                 self.state.disc_opt_states,
                 loaded["spectral"],
                 self.state.step,
-            )
+            ))
 
 
 class TextsyBertTrainer(Trainer):
@@ -705,63 +719,103 @@ class TextsyBertTrainer(Trainer):
         loaded = load_checkpoint_bytes(target, path)
         opt_state = (loaded["optimizer"] if restore_training_state
                      else self.state.opt_state)
-        self.state = TrainState(loaded["model"], opt_state, self.state.step)
+        self.state = self.device_state(
+            TrainState(loaded["model"], opt_state, self.state.step))
         if restore_training_state:
             # the checkpoint records COMPLETED steps; resume at the next one
             self.steps = int(loaded["steps"]) + 1
 
 
+@functools.lru_cache(maxsize=256)
+def _carve_fn(segkey):
+    """ONE jitted program carving every packed leaf out of an int32 buffer.
+
+    Eagerly dispatching carve ops per leaf costs one host round-trip per
+    dispatch on the relay-attached TPU, which kept transfer ~330 ms/batch
+    even after packing the copy into one device_put. Fusing the carving
+    into one cached jit makes steady-state transfer exactly one device_put
+    + one execute (measured ~5 ms/batch). The carve is slice + SAME-WIDTH
+    bitcast (int32<->f32 reinterpretation, metadata-only) + reshape — an
+    earlier all-bytes variant bitcast uint8 spans across widths, and XLA
+    lowered that into a ~470 MB executable taking ~200 s on the remote
+    compile service; same-width carving keeps the executable tens of KiB
+    and ~2 s to compile (persisted across processes regardless).
+    segkey: ((start_elems, n_elems, shape, kind), ...), kind in
+    {"f32", "i32", "bool"} or ("narrow", dtype_str, n_orig)."""
+    def carve(dbuf):
+        outs = []
+        for start, n, shape, kind in segkey:
+            leaf = jax.lax.slice(dbuf, (start,), (start + n,))
+            if kind == "f32":
+                leaf = jax.lax.bitcast_convert_type(leaf, jnp.float32)
+            elif kind == "bool":
+                leaf = leaf.astype(jnp.bool_)
+            elif isinstance(kind, tuple):  # ("narrow", dtype_str, n_orig)
+                _, dstr, n_orig = kind
+                leaf = jax.lax.bitcast_convert_type(
+                    leaf, jnp.dtype(dstr)).reshape((-1,))
+                leaf = jax.lax.slice(leaf, (0,), (n_orig,))
+            outs.append(leaf.reshape(shape))
+        return tuple(outs)
+    return jax.jit(carve)
+
+
+def _as_i32(a: np.ndarray):
+    """Reinterpret/convert a host array as int32 words + its carve kind.
+
+    f32 is viewed (zero-copy, bit-identical); int64/f64 canonicalize the
+    way device_put does with x64 disabled; bools widen to int32 (mask
+    leaves are small — the inflation is noise next to a round-trip saved);
+    16/8-bit dtypes pad to a word boundary and ride as int32 words, carved
+    back bit-identically with a same-total-width bitcast."""
+    if a.dtype == np.float64:
+        a = a.astype(np.float32)
+    if a.dtype == np.float32:
+        return a.view(np.int32), "f32"
+    if a.dtype == np.bool_:
+        return a.astype(np.int32), "bool"
+    if a.dtype == np.int64:
+        a = a.astype(np.int32)
+    if a.dtype.itemsize in (1, 2):
+        per = 4 // a.dtype.itemsize
+        flat = a.ravel()
+        pad = (-flat.size) % per
+        if pad:
+            flat = np.concatenate([flat, np.zeros(pad, a.dtype)])
+        return flat.view(np.int32), ("narrow", a.dtype.str, a.size)
+    return a.view(np.int32) if a.dtype.itemsize == 4 else \
+        a.astype(np.int32), "i32"
+
+
 def pack_put(batch):
-    """Single-device host->device transfer of a whole batch as ONE buffer.
+    """Host->device transfer of a whole batch as ONE int32 buffer.
 
     A per-leaf device_put costs one blocking round-trip per array on this
     box's relay-attached TPU (~40 ms each; a training batch has ~9 leaves),
     which made transfer — not compute — the sustained-training bound
-    (round-5 phase profiles). Packing every leaf's bytes into one uint8
-    buffer pays ONE round-trip; the per-leaf views are then carved out
-    on-device with async slice + bitcast + reshape ops (HBM-local, no
-    further host round-trips). Step functions receive ordinary device
-    arrays — nothing downstream changes. A real PCIe-attached TPU host
-    also benefits (fewer, larger DMAs), just less dramatically."""
+    (round-5 phase profiles). Packing every leaf into one int32 buffer
+    (f32 leaves bit-reinterpreted, see _as_i32) pays ONE round-trip; one
+    cached jitted program (_carve_fn) carves the views back out on-device.
+    Step functions receive ordinary device arrays — nothing downstream
+    changes. A real PCIe-attached TPU host also benefits (fewer, larger
+    DMAs), just less dramatically."""
     leaves, treedef = jax.tree_util.tree_flatten(batch)
-    arrs, segs, off = [], [], 0
+    arrs, segs, packed, off = [], [], [], 0
     for leaf in leaves:
         if hasattr(leaf, "shape") and getattr(leaf, "ndim", 0) and not isinstance(
                 leaf, jax.Array):
-            a = np.ascontiguousarray(leaf)
-            # canonicalize like device_put does with x64 disabled
-            if a.dtype == np.int64:
-                a = a.astype(np.int32)
-            elif a.dtype == np.float64:
-                a = a.astype(np.float32)
-            arrs.append(a.view(np.uint8).ravel())
-            segs.append((off, a.nbytes, a.dtype, a.shape))
-            off += a.nbytes
+            a, kind = _as_i32(np.ascontiguousarray(leaf))
+            arrs.append(a.ravel())
+            segs.append(None)
+            packed.append((off, a.size, tuple(leaf.shape), kind))
+            off += a.size
         else:
             segs.append(leaf)
     if not arrs:
         return batch
     dbuf = jax.device_put(np.concatenate(arrs))
-    out = []
-    for seg in segs:
-        if isinstance(seg, tuple) and len(seg) == 4 and isinstance(
-                seg[2], np.dtype):
-            start, nbytes, dtype, shape = seg
-            raw = jax.lax.slice(dbuf, (start,), (start + nbytes,))
-            if dtype == np.uint8:
-                leaf = raw.reshape(shape)
-            elif dtype == np.bool_:
-                leaf = raw.reshape(shape).astype(jnp.bool_)
-            elif dtype.itemsize == 1:
-                leaf = jax.lax.bitcast_convert_type(
-                    raw, jnp.dtype(dtype)).reshape(shape)
-            else:
-                bits = raw.reshape(nbytes // dtype.itemsize, dtype.itemsize)
-                leaf = jax.lax.bitcast_convert_type(
-                    bits, jnp.dtype(dtype)).reshape(shape)
-            out.append(leaf)
-        else:
-            out.append(seg)
+    carved = iter(_carve_fn(tuple(packed))(dbuf))
+    out = [next(carved) if seg is None else seg for seg in segs]
     return jax.tree_util.tree_unflatten(treedef, out)
 
 
